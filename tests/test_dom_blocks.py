@@ -1,0 +1,182 @@
+"""DOM tokenizer + block segmentation/markdown rendering tests."""
+
+from ocr_pipeline_spark.kernel.blocks import render_blocks, select_main_root
+from ocr_pipeline_spark.kernel.dom import parse_html
+
+
+def _markdown(html):
+    blocks, _ = render_blocks(html)
+    return "\n\n".join(b.text for b in blocks)
+
+
+# --- parser robustness ---------------------------------------------------
+def test_unclosed_tags_parse():
+    doc = parse_html("<html><body><p>one<p>two</body>")
+    paras = list(doc.find_all("p"))
+    assert len(paras) == 2
+    assert paras[0].text().strip() == "one"
+    assert paras[1].text().strip() == "two"
+
+
+def test_stray_end_tags_ignored():
+    doc = parse_html("<body></div><p>x</p></span></body>")
+    assert [n.text() for n in doc.find_all("p")] == ["x"]
+
+
+def test_entities_decoded():
+    assert "A & B < C" in _markdown("<body><p>A &amp; B &lt; C</p></body>")
+
+
+def test_bytes_input_with_invalid_utf8():
+    md = _markdown(b"<body><p>caf\xc3\xa9 \xff ok</p></body>")
+    assert "café" in md
+
+
+# --- block rendering ---------------------------------------------------
+def test_headings_and_paragraphs():
+    md = _markdown("<body><h1>Title</h1><h2>Sub</h2><p>Body text.</p></body>")
+    assert md == "# Title\n\n## Sub\n\nBody text."
+
+
+def test_inline_formatting():
+    md = _markdown("<body><p>a <strong>b</strong> <em>c</em> <code>d</code></p></body>")
+    assert md == "a **b** *c* `d`"
+
+
+def test_nested_lists():
+    html = "<body><ul><li>one<ul><li>inner</li></ul></li><li>two</li></ul></body>"
+    assert _markdown(html) == "- one\n  - inner\n- two"
+
+
+def test_ordered_list_numbering():
+    html = "<body><ol><li>a</li><li>b</li><li>c</li></ol></body>"
+    assert _markdown(html) == "1. a\n2. b\n3. c"
+
+
+def test_table_rendering():
+    html = (
+        "<body><table><thead><tr><th>h1</th><th>h2</th></tr></thead>"
+        "<tbody><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></tbody>"
+        "</table></body>"
+    )
+    md = _markdown(html)
+    assert md == (
+        "| h1 | h2 |\n| --- | --- |\n| a | b |\n| c | d |"
+    )
+
+
+def test_implicitly_closed_table_rows():
+    html = "<body><table><tr><td>a<td>b<tr><td>c<td>d</table></body>"
+    md = _markdown(html)
+    assert "| a | b |" in md and "| c | d |" in md
+
+
+def test_layout_table_is_transparent():
+    html = "<body><table><tr><td><p>real content here</p></td></tr></table></body>"
+    md = _markdown(html)
+    assert md == "real content here"
+    _, stats = render_blocks(html)
+    assert stats.n_data_tables == 0
+
+
+def test_blockquote_and_code():
+    html = "<body><blockquote>wise\nwords</blockquote><pre>x = 1\ny = 2</pre></body>"
+    md = _markdown(html)
+    assert "> wise words" in md
+    assert "```\nx = 1\ny = 2\n```" in md
+
+
+def test_figure_with_caption():
+    html = (
+        '<body><figure><img src="a.png" alt="A chart"/>'
+        "<figcaption>Fig 1. Results</figcaption></figure></body>"
+    )
+    md = _markdown(html)
+    assert "![A chart](figures/1)" in md
+    assert "*Fig 1. Results*" in md
+
+
+def test_figure_numbering_is_sequential():
+    html = '<body><img src="a"/><p>t</p><img src="b"/></body>'
+    md = _markdown(html)
+    assert "figures/1" in md and "figures/2" in md
+
+
+# --- boilerplate stripping ------------------------------------------------
+BOILER = (
+    "<html><head><script>var x;</script><style>.a{}</style></head><body>"
+    "<nav><a href='/'>Home</a><a href='/b'>B</a></nav>"
+    "<header><h1>Site名</h1></header>"
+    '<div class="cookie-banner">We use cookies <a href="#">accept</a></div>'
+    '<div id="content"><h1>Real Title</h1><p>Main paragraph with enough words '
+    "to be obviously content and not chrome.</p></div>"
+    '<aside class="sidebar"><a href="/x">x</a></aside>'
+    "<footer>© 2024 <a href='/legal'>legal</a></footer>"
+    "</body></html>"
+)
+
+
+def test_boilerplate_removed_main_kept():
+    md = _markdown(BOILER)
+    assert "Real Title" in md
+    assert "Main paragraph" in md
+    assert "Home" not in md
+    assert "cookies" not in md
+    assert "©" not in md
+    assert "var x" not in md
+
+
+def test_main_root_selection_prefers_main_tag():
+    html = "<body><div><p>outside</p></div><main><p>inside main</p></main></body>"
+    root = select_main_root(parse_html(html))
+    assert root.tag == "main"
+    assert _markdown(html) == "inside main"
+
+
+def test_link_farm_paragraph_dropped():
+    html = (
+        "<body><p><a href='1'>download now</a> <a href='2'>click here</a> "
+        "<a href='3'>free stuff</a></p>"
+        "<p>This sentence is genuine readable content with just one "
+        "<a href='x'>link</a> inside a lot of prose.</p></body>"
+    )
+    md = _markdown(html)
+    assert "download now" not in md
+    assert "genuine readable content" in md
+
+
+def test_role_navigation_removed():
+    html = '<body><div role="navigation"><a href="/">nav nav</a></div><p>keep.</p></body>'
+    assert _markdown(html) == "keep."
+
+
+# --- stats ---------------------------------------------------------------
+def test_stats_counts():
+    _, stats = render_blocks(BOILER)
+    assert stats.n_data_tables == 0
+    assert stats.n_figures == 0
+    assert stats.text_chars > 20
+
+
+def test_dropped_boilerplate_counted_without_content_root():
+    # no <main>/#content → walk sees (and drops) the chrome subtrees
+    html = (
+        "<body><nav><a href='/'>HomeHomeHome</a></nav>"
+        "<p>real prose content here.</p></body>"
+    )
+    _, stats = render_blocks(html)
+    assert stats.dropped_boilerplate_chars > 0
+
+
+def test_diagram_pre_detected():
+    html = "<body><pre>[Start] --> [Work] --> [End]\n[Work] --> [Retry]</pre></body>"
+    blocks, stats = render_blocks(html)
+    assert stats.n_diagrams == 1
+    assert blocks[0].kind == "diagram"
+
+
+def test_plain_pre_is_code():
+    html = "<body><pre>def f():\n    return 1</pre></body>"
+    blocks, stats = render_blocks(html)
+    assert stats.n_diagrams == 0
+    assert blocks[0].kind == "code"
