@@ -82,6 +82,7 @@ class PageStats:
     diagram_chars: int = 0
     code_chars: int = 0
     n_data_tables: int = 0
+    n_table_cells: int = 0
     n_figures: int = 0
     n_diagrams: int = 0
     flowchart_votes: int = 0
@@ -262,6 +263,7 @@ class _Renderer:
         text = "\n".join(lines)
         self.blocks.append(Block("table", text))
         self.stats.table_chars += sum(len(c) for r in rows for c in r)
+        self.stats.n_table_cells += sum(len(r) for r in rows)
         self.stats.n_data_tables += 1
 
     def _render_pre(self, node: Node) -> None:
@@ -399,7 +401,9 @@ class _Renderer:
             else:
                 # unknown/inline element encountered at block level: treat as
                 # phrasing content and fold into the pending paragraph
-                text, lc = self._inline(child)
+                text, lc = self._inline(child, depth=depth + 1)
+                if tag == "a":
+                    lc = len(text)  # the whole element is anchor text
                 if text:
                     pending.append((text, lc))
         self._flush_pending(pending)

@@ -24,6 +24,8 @@ METHOD = "dom-heuristic-v1"
 # minimum chars for has_text; figure weight in the share computation
 _HAS_TEXT_MIN = 80
 _FIGURE_WEIGHT = 120
+_CELL_WEIGHT = 12   # structural weight per table cell (short numeric cells
+                    # carry more signal than their char count suggests)
 _DOMINANT = 0.5     # share above which a single type wins
 _SIGNIFICANT = 0.15  # share above which a modality counts toward "mixed"
 
@@ -35,7 +37,8 @@ def _confidence(share: float) -> float:
 def classify_stats(stats: PageStats) -> dict:
     """Deterministic classification record from page statistics."""
     fig_chars = _FIGURE_WEIGHT * stats.n_figures
-    content = stats.text_chars + stats.table_chars + stats.diagram_chars + fig_chars
+    table_weight = stats.table_chars + _CELL_WEIGHT * getattr(stats, "n_table_cells", 0)
+    content = stats.text_chars + table_weight + stats.diagram_chars + fig_chars
 
     has_text = stats.text_chars >= _HAS_TEXT_MIN
     has_tables = stats.n_data_tables > 0
@@ -55,7 +58,7 @@ def classify_stats(stats: PageStats) -> dict:
 
     shares = {
         "text": stats.text_chars / content,
-        "table": stats.table_chars / content,
+        "table": table_weight / content,
         "diagram": stats.diagram_chars / content,
         "figure": fig_chars / content,
     }
