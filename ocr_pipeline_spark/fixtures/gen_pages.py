@@ -287,6 +287,8 @@ def make_page(row_id: int, seed: int = 42) -> dict:
         doc_id = row_id // _DOC_STRIDE
         page_num = row_id % _DOC_STRIDE + 1
         body = _tmpl_doc_page(seed, doc_id, page_num)
+        # one document lives on one host: derive it from the doc, not the row
+        host = _zipf_host(random.Random((seed << 20) ^ (doc_id * 7919)))
         url = f"https://{host}/doc/{doc_id}/page-{page_num}"
     else:
         body = {

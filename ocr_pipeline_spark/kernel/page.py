@@ -26,6 +26,19 @@ from ocr_pipeline_spark.kernel.describe import describe_diagram_source
 
 DESCRIBE_METHOD = "diagram-describe-v1"
 
+# multi-page documents address pages as .../page-N; everything else is
+# a single-page document (page 1)
+_PAGE_NUM_RE = re.compile(r"/page-(\d+)/?$")
+
+
+def page_num_from_url(url: str) -> int:
+    m = _PAGE_NUM_RE.search(url or "")
+    return int(m.group(1)) if m else 1
+
+
+def doc_key_from_url(url: str) -> str:
+    return _PAGE_NUM_RE.sub("", url or "")
+
 # Block kinds kept by the 'describe' strategy (pure diagram/flowchart
 # pages keep only their structural content, mirroring the reference's
 # describe-only prompt for those types).

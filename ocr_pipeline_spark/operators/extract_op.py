@@ -1,0 +1,183 @@
+"""Arrow-vectorized extraction operators (mapInPandas kernels).
+
+The graft of the reference's process-boundary dispatch
+(/root/reference/src/stage2_ocr.py:51-177): where the reference ships
+page batches to a worker process through JSON temp files, Spark ships
+Arrow record batches to its Python workers — no files, no per-row
+Python on the JVM side.  Each function below is an iterator-of-batches
+kernel so per-worker setup happens once, not per row.
+
+Two physical plans produce byte-identical output:
+
+  * fused (default): classify + extract + clean + describe + finalize
+    in ONE narrow pass over the scan — one kernel invocation per row,
+    no second scan, no join.  This is the scale-correct plan: the
+    reference only splits its stages for GPU-residency reasons
+    (ocr_pipeline.py:250-307) that do not exist here.
+  * staged (flag): stage-1 emits body + classification + diagram
+    sources; a filtered describe branch computes descriptions for the
+    (small) diagram subset; a broadcast left join + finalize kernel
+    reassembles.  Mirrors the reference's stage graph (SURVEY.md §3.4)
+    and exists to prove plan-invariance of the output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ocr_pipeline_spark.kernel.classify import wants_description
+from ocr_pipeline_spark.kernel.describe import describe_diagram_source
+from ocr_pipeline_spark.kernel.page import (
+    extract_body,
+    finalize_page,
+    page_num_from_url,
+)
+
+# --- output schemas (DDL) -------------------------------------------------
+CLASSIFICATION_DDL = (
+    "struct<type:string,confidence:double,description:string,"
+    "has_text:boolean,has_images:boolean,has_tables:boolean,"
+    "has_diagrams:boolean,method:string>"
+)
+SPANS_DDL = "array<struct<block_type:string,start:bigint,end:bigint>>"
+
+EXTRACTED_DDL = (
+    "url string, warc_ts timestamp, lang string, page_num int, "
+    f"classification {CLASSIFICATION_DDL}, method string, "
+    "markdown string, description string, "
+    f"spans {SPANS_DDL}, "
+    "n_chars bigint, n_figures int, n_html_bytes bigint"
+)
+
+STAGE1_DDL = (
+    "url string, warc_ts timestamp, lang string, page_num int, "
+    f"classification {CLASSIFICATION_DDL}, body string, "
+    "diagram_sources array<string>, n_figures int, n_html_bytes bigint"
+)
+
+DESCRIPTION_DDL = "url string, description string"
+
+_CLS_KEYS = (
+    "type", "confidence", "description",
+    "has_text", "has_images", "has_tables", "has_diagrams", "method",
+)
+
+
+def _cls_cell(cls: dict) -> dict:
+    # Arrow struct columns want dict cells
+    return {k: cls.get(k) for k in _CLS_KEYS}
+
+
+def _describe(sources: list[str]) -> str:
+    return "\n\n".join(describe_diagram_source(s) for s in sources)
+
+
+# --- fused kernel ------------------------------------------------------------
+def fused_extract_kernel(describe: bool):
+    """mapInPandas kernel: pages(url, warc_ts, html, lang) -> EXTRACTED_DDL."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, warc_ts, html, lang in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+            ):
+                body, cls, diagram_sources, n_figures = extract_body(html)
+                description = ""
+                if describe and wants_description(cls) and diagram_sources:
+                    description = _describe(diagram_sources)
+                page_num = page_num_from_url(url)
+                markdown, method, spans = finalize_page(
+                    body, cls, description, page_num
+                )
+                rows.append(
+                    (
+                        url, warc_ts, lang, page_num,
+                        _cls_cell(cls), method, markdown, description,
+                        spans, len(markdown), n_figures,
+                        len(html) if html is not None else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "lang", "page_num", "classification",
+                    "method", "markdown", "description", "spans",
+                    "n_chars", "n_figures", "n_html_bytes",
+                ],
+            )
+
+    return kernel
+
+
+# --- staged kernels ------------------------------------------------------------
+def stage1_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Classify + extract + clean (no describe, no finalize)."""
+    for pdf in batches:
+        rows = []
+        for url, warc_ts, html, lang in zip(
+            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+        ):
+            body, cls, diagram_sources, n_figures = extract_body(html)
+            rows.append(
+                (
+                    url, warc_ts, lang, page_num_from_url(url),
+                    _cls_cell(cls), body,
+                    diagram_sources if wants_description(cls) else [],
+                    n_figures, len(html) if html is not None else 0,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "url", "warc_ts", "lang", "page_num", "classification",
+                "body", "diagram_sources", "n_figures", "n_html_bytes",
+            ],
+        )
+
+
+def describe_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """T7 graft: diagram subset -> (url, description)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "description": [
+                    _describe(list(sources)) for sources in pdf["diagram_sources"]
+                ],
+            }
+        )
+
+
+def finalize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """A1 merge + A2 header + spans over joined (stage1 ⟕ descriptions)."""
+    for pdf in batches:
+        rows = []
+        for url, warc_ts, lang, page_num, cls_row, body, desc, n_figures, n_html in zip(
+            pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["page_num"],
+            pdf["classification"], pdf["body"], pdf["description"],
+            pdf["n_figures"], pdf["n_html_bytes"],
+        ):
+            cls = dict(zip(_CLS_KEYS, cls_row)) if not isinstance(cls_row, dict) else cls_row
+            description = desc if isinstance(desc, str) and desc else ""
+            markdown, method, spans = finalize_page(
+                body, cls, description, int(page_num)
+            )
+            rows.append(
+                (
+                    url, warc_ts, lang, int(page_num),
+                    _cls_cell(cls), method, markdown, description,
+                    spans, len(markdown), int(n_figures),
+                    int(n_html),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "url", "warc_ts", "lang", "page_num", "classification",
+                "method", "markdown", "description", "spans",
+                "n_chars", "n_figures", "n_html_bytes",
+            ],
+        )

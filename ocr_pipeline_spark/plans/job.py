@@ -1,0 +1,222 @@
+"""The extraction job: scan → salted repartition → Arrow kernel →
+(describe branch) → bucketed write with manifest resume + metrics.
+
+Physical plan notes (SURVEY.md §3.4/§4):
+  * column pruning: only (url, warc_ts, html, lang) are selected, so
+    Catalyst pushes the projection into the scan — the wide `text`
+    column is never read;
+  * the ONLY shuffle is the salted repartition.  Its key is
+    (hash(host), hash(url) % salt): pages co-locate by host (bounded
+    by `salt` sub-buckets), so Zipf-skewed hosts cannot pin a single
+    task — the north rule's explicit skew handling;
+  * the kernel is one narrow mapInPandas over Arrow batches (capped
+    records/batch for multi-MB html blobs);
+  * in staged mode the describe branch is a filtered projection of the
+    stage-1 output joined back with a broadcast hash join — the
+    diagram subset is small by construction (T7 selectivity,
+    qwen_processor.py:310-323).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_pipeline_spark.operators.extract_op import (
+    EXTRACTED_DDL,
+    STAGE1_DDL,
+    DESCRIPTION_DDL,
+    describe_kernel,
+    finalize_kernel,
+    fused_extract_kernel,
+    stage1_kernel,
+)
+from ocr_pipeline_spark.sources.catalog import (
+    DEFAULT_BUCKETS,
+    PKEY_COL,
+    ParquetCatalog,
+    with_bucket,
+)
+
+INPUT_COLUMNS = ("url", "warc_ts", "html", "lang")
+
+# Arrow batches carry multi-MB html blobs; keep batches small enough to
+# bound executor memory (SURVEY.md §7.3).
+ARROW_BATCH_ROWS = "256"
+
+
+def default_session(
+    master: str = "local[*]",
+    app_name: str = "ocr-pipeline-spark",
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_BATCH_ROWS)
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def salted_repartition(
+    df: DataFrame, num_partitions: int, salt: int = 8
+) -> DataFrame:
+    """Host-affine, skew-bounded repartition.
+
+    Key = (xxhash64(host(url)), xxhash64(url) % salt): one host's pages
+    land in at most `salt` partitions — co-location for cache locality
+    and politeness-style grouping, without letting a mega-host (Zipf
+    head) pin one task (SURVEY.md §4.4).
+    """
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return df.repartition(
+        num_partitions,
+        F.xxhash64(host),
+        F.pmod(F.xxhash64(F.col("url")), F.lit(salt)),
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    describe: bool = True,
+    mode: str = "fused",
+    num_partitions: int | None = None,
+    salt: int = 8,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> extracted DataFrame.
+
+    `mode`: 'fused' (default, one narrow pass) or 'staged' (stage-1 +
+    filtered describe branch + broadcast join) — byte-identical output,
+    see operators/extract_op.py.
+    """
+    pruned = pages.select(*INPUT_COLUMNS)
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+    distributed = salted_repartition(pruned, num_partitions, salt)
+
+    if mode == "fused":
+        return distributed.mapInPandas(
+            fused_extract_kernel(describe), schema=EXTRACTED_DDL
+        )
+
+    if mode != "staged":
+        raise ValueError(f"unknown mode: {mode!r}")
+
+    stage1 = distributed.mapInPandas(stage1_kernel, schema=STAGE1_DDL)
+    if describe:
+        diagram_subset = stage1.filter(F.size("diagram_sources") > 0).select(
+            "url", "diagram_sources"
+        )
+        descriptions = diagram_subset.mapInPandas(
+            describe_kernel, schema=DESCRIPTION_DDL
+        )
+        joined = stage1.join(F.broadcast(descriptions), "url", "left")
+    else:
+        joined = stage1.withColumn("description", F.lit(None).cast("string"))
+    joined = joined.fillna({"description": ""})
+    return joined.mapInPandas(finalize_kernel, schema=EXTRACTED_DDL)
+
+
+# --- metrics (graft of the reference's summary metrics, A5/K3) -----------------
+def partition_metrics(extracted_with_pkey: DataFrame, run_id: str) -> DataFrame:
+    """Per-bucket lineage/metrics rows (FIXTURES.md §4 `metrics` schema)."""
+    return extracted_with_pkey.groupBy(PKEY_COL).agg(
+        F.lit(run_id).alias("run_id"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_html_bytes").alias("n_bytes"),
+        F.sum("n_chars").alias("n_chars_out"),
+        F.sum(F.when(F.col("n_chars") == 0, 1).otherwise(0)).alias("n_empty"),
+        F.sum("n_figures").alias("n_figures"),
+        F.sum(
+            F.when(F.col("method") == "diagram-describe-v1", 1).otherwise(0)
+        ).alias("n_described"),
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    warehouse: str,
+    run_id: str,
+    table: str = "extracted",
+    describe: bool = True,
+    mode: str = "fused",
+    n_buckets: int = DEFAULT_BUCKETS,
+    chunk_size: int | None = None,
+    num_partitions: int | None = None,
+    salt: int = 8,
+    max_chunks: int | None = None,
+) -> dict:
+    """The resumable end-to-end job (SURVEY.md §3.4).
+
+    Buckets pending for `run_id` are processed in chunks; each chunk is
+    written with dynamic partition overwrite and only then manifest-
+    committed, so a kill between chunks (or mid-chunk) resumes with no
+    duplicates and no missing urls.  `max_chunks` exists for the
+    kill/resume tests.
+    """
+    catalog = ParquetCatalog(spark, warehouse)
+    t_start = time.time()
+
+    done = catalog.completed_buckets(table, run_id)
+    pending = [k for k in range(n_buckets) if k not in done]
+    if not pending:
+        return {
+            "run_id": run_id, "n_buckets": n_buckets, "skipped": n_buckets,
+            "processed_buckets": [], "n_docs": 0, "seconds": 0.0,
+        }
+
+    extracted = with_bucket(
+        run_extraction(
+            spark, pages, describe=describe, mode=mode,
+            num_partitions=num_partitions, salt=salt,
+        ),
+        n_buckets,
+    )
+
+    chunk = chunk_size or len(pending)
+    chunks = [pending[i : i + chunk] for i in range(0, len(pending), chunk)]
+    if max_chunks is not None:
+        chunks = chunks[:max_chunks]
+
+    processed: list[int] = []
+    total_docs = 0
+    for keys in chunks:
+        subset = extracted.filter(F.col(PKEY_COL).isin([int(k) for k in keys]))
+        catalog.overwrite_buckets(table, subset)
+        # lineage metrics from the committed files (column-pruned scan)
+        committed = catalog.read(table).filter(
+            F.col(PKEY_COL).isin([int(k) for k in keys])
+        )
+        metrics = partition_metrics(committed, run_id).withColumn(
+            "t_end", F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
+        )
+        catalog.write_metrics(table, metrics)
+        counts = catalog.bucket_row_counts(table, keys)
+        for k in keys:
+            catalog.commit_bucket(table, run_id, k, counts.get(k, 0))
+        processed.extend(int(k) for k in keys)
+        total_docs += sum(counts.values())
+
+    return {
+        "run_id": run_id,
+        "n_buckets": n_buckets,
+        "skipped": len(done),
+        "processed_buckets": processed,
+        "n_docs": total_docs,
+        "seconds": round(time.time() - t_start, 3),
+    }

