@@ -1,38 +1,396 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: the full extraction pipeline over the
+                 sf0.001 `documents` corpus wrapped as Common-Crawl
+                 style pages (deterministic chrome), returning the
+                 extracted table.
+queries()      — operators from SURVEY.md §2 + training-data-pipeline
+                 ops, each as (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query
+                 (same column names/types).  Kernel-based queries
+                 (extraction, lang-id, simhash, minhash-LSH) have no
+                 SQL equivalent and get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> pages -> salted repartition -> Arrow
+    extraction kernel -> extracted(url, markdown, spans, ...)."""
+    from ocr_pipeline_spark.fixtures.gen_pages import documents_as_pages_df
+    from ocr_pipeline_spark.plans.job import run_extraction
+
+    docs = _t(spark, SF0001, "documents")
+    pages = documents_as_pages_df(docs)
+    out = run_extraction(spark, pages, describe=True)
+    return out.select(
+        "url", "warc_ts", "lang", "page_num",
+        F.col("classification.type").alias("page_type"),
+        F.col("classification.confidence").alias("confidence"),
+        "method", "markdown", "spans", "n_chars", "n_figures",
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL-expressible queries (DuckDB-checked)
+# --------------------------------------------------------------------------
+def _q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+def _q_top_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def _q_latest_event_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+def _q_events_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def _q_docs_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from ocr_pipeline_spark.operators.text_ops import exact_dup_key
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_hash", exact_dup_key(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text_hash").alias("n_unique"),
+            (F.count("*") - F.countDistinct("text_hash")).alias("n_dups"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_token_stats(spark, sf_dir):
+    from ocr_pipeline_spark.operators.text_ops import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_tokens", token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_quality_scores(spark, sf_dir):
+    from ocr_pipeline_spark.operators.text_ops import (
+        alpha_ratio,
+        punct_ratio,
+        quality_flag,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(alpha_ratio(F.col("text")), 4).alias("alpha_ratio"),
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        quality_flag(F.col("text")).alias("is_quality"),
+    ).orderBy("doc_id")
+
+
+def _q_embedding_knn(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with(dbl("embedding"), dbl("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(dbl(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return (
+        joined.select(
+            "vec_id",
+            F.round(dot / (norm("embedding") * norm("qv")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Kernel queries (no SQL equivalent -> rows-only driver check)
+# --------------------------------------------------------------------------
+def _q_extract_documents(spark, sf_dir):
+    from ocr_pipeline_spark.fixtures.gen_pages import documents_as_pages_df
+    from ocr_pipeline_spark.plans.job import run_extraction
+
+    pages = documents_as_pages_df(_t(spark, sf_dir, "documents"))
+    out = run_extraction(spark, pages, describe=True)
+    return out.select(
+        "url",
+        F.col("classification.type").alias("page_type"),
+        "method", "markdown", "n_chars",
+    ).orderBy("url")
+
+
+def _q_lang_simhash(spark, sf_dir):
+    from ocr_pipeline_spark.operators.text_ops import lang_id_kernel, simhash_kernel
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    with_lang = d.mapInPandas(
+        lang_id_kernel(), schema="doc_id long, text string, lang_pred string"
+    )
+    with_hash = with_lang.mapInPandas(
+        simhash_kernel(),
+        schema="doc_id long, text string, lang_pred string, simhash long",
+    )
+    return with_hash.select("doc_id", "lang_pred", "simhash").orderBy("doc_id")
+
+
+def _q_minhash_dup_pairs(spark, sf_dir):
+    from ocr_pipeline_spark.operators.text_ops import (
+        lsh_candidate_pairs,
+        minhash_kernel,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = d.mapInPandas(
+        minhash_kernel(),
+        schema="doc_id long, text string, minhash array<bigint>",
+    )
+    return lsh_candidate_pairs(sigs, "doc_id").orderBy("id_a", "id_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_orders": _q_top_orders,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "events_daily": _q_events_daily,
+        "docs_by_lang": _q_docs_by_lang,
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality_scores,
+        "embedding_knn": _q_embedding_knn,
+        "extract_documents": _q_extract_documents,
+        "lang_simhash": _q_lang_simhash,
+        "minhash_dup_pairs": _q_minhash_dup_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY revenue DESC
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type, value
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ) AS rn
+                FROM events
+            )
+            WHERE rn = 1
+            ORDER BY user_id
+        """,
+        "events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY day, event_type
+            ORDER BY day, event_type
+        """,
+        "docs_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 2) AS avg_chars,
+                   sum(n_chars) AS total_chars
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
+        """,
+        "dedup_exact": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_unique,
+                   count(*) - count(DISTINCT md5(text)) AS n_dups
+            FROM documents
+            GROUP BY source
+            ORDER BY source
+        """,
+        "token_stats": """
+            WITH tok AS (
+                SELECT lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            )
+            SELECT lang,
+                   round(avg(n_tokens), 2) AS avg_tokens,
+                   max(n_tokens) AS max_tokens,
+                   sum(n_tokens) AS total_tokens
+            FROM tok
+            GROUP BY lang
+            ORDER BY lang
+        """,
+        "quality_scores": """
+            WITH feat AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens,
+                       CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+                       END AS araw,
+                       CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / length(text)
+                       END AS praw,
+                       length(text) AS n_len
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   round(araw, 4) AS alpha_ratio,
+                   round(praw, 4) AS punct_ratio,
+                   (n_len >= 200 AND n_tokens >= 30 AND araw > 0.6 AND praw < 0.1)
+                       AS is_quality
+            FROM feat
+            ORDER BY doc_id
+        """,
+        "embedding_knn": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id = 0
+            )
+            SELECT e.vec_id,
+                   round(
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                       (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[]))) *
+                        sqrt(list_dot_product(q.qv, q.qv))),
+                       4
+                   ) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id != 0
+            ORDER BY cos_sim DESC, e.vec_id
+            LIMIT 10
+        """,
+        # extract_documents / lang_simhash / minhash_dup_pairs:
+        # kernel-based, not SQL-expressible -> rows-only driver check.
+    }

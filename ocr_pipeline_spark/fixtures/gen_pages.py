@@ -335,6 +335,44 @@ PAGES_SCHEMA_DDL = (
 )
 
 
+def wrap_document_as_page(doc_id: int, text: str, lang: str, source: str) -> dict:
+    """Deterministically wrap a driver `documents` row as a pages row:
+    the text becomes paragraphs inside realistic page chrome, so the
+    testdata corpus drives the full extraction pipeline."""
+    rng = random.Random(doc_id * 2654435761 % (1 << 31))
+    words = (text or "").split()
+    paras = [" ".join(words[i : i + 40]) for i in range(0, len(words), 40)] or [""]
+    body = f"<h1>Document {doc_id}</h1>" + "".join(f"<p>{p}.</p>" for p in paras)
+    html = _chrome_wrap(rng, body)
+    return {
+        "url": f"https://{source}.example.com/docs/{doc_id}",
+        "warc_ts": _EPOCH + timedelta(seconds=int(doc_id) * 53),
+        "html": html.encode("utf-8"),
+        "text": text,
+        "lang": lang,
+    }
+
+
+def documents_as_pages_df(documents_df):
+    """documents(doc_id, text, lang, source, ...) -> pages DataFrame."""
+    import pandas as pd
+
+    def _wrap(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    wrap_document_as_page(int(d), t, l, s)
+                    for d, t, l, s in zip(
+                        pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+                    )
+                ]
+            )
+
+    return documents_df.select("doc_id", "text", "lang", "source").mapInPandas(
+        _wrap, schema=PAGES_SCHEMA_DDL
+    )
+
+
 def generate_pages_df(spark, n_rows: int, seed: int = 42, partitions: int | None = None):
     """Distributed deterministic generation: spark.range -> mapInPandas.
 

@@ -1,0 +1,233 @@
+"""Text analytics & dedup operators for training-data pipelines.
+
+All column expressions stay JVM-side (pyspark.sql.functions, codegen'd);
+Python appears only in Arrow-batched kernels (lang-ID, simhash,
+minhash) where per-char/state logic genuinely can't be expressed as
+built-ins.  Everything is deterministic.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# =========================================================================
+# Column-level text features (pure JVM expressions)
+# =========================================================================
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("long")
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Share of ASCII-alphabetic characters."""
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, "[^a-zA-Z]", "")) / F.length(col)
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Share of sentence punctuation characters."""
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, r"[^.!?,;:]", "")) / F.length(col)
+    )
+
+
+def quality_flag(text: Column, min_chars: int = 200, min_tokens: int = 30) -> Column:
+    """Cheap quality gate: long enough, word-like, not punctuation soup."""
+    return (
+        (F.length(text) >= min_chars)
+        & (token_count(text) >= min_tokens)
+        & (alpha_ratio(text) > 0.6)
+        & (punct_ratio(text) < 0.1)
+    )
+
+
+def exact_dup_key(col: Column) -> Column:
+    """Exact-dedup hash key (md5 hex — same bytes in Spark and DuckDB)."""
+    return F.md5(col.cast("binary"))
+
+
+# =========================================================================
+# Language identification (Arrow kernel — per-char logic)
+# =========================================================================
+# Tiny deterministic stopword profiles: the graft of a real lang-id
+# model for the fixture corpus (en/de/fr/pl).
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is that for with are was this have from".split()),
+    "de": frozenset("der die und das ist von mit für nicht auf ein eine dem den".split()),
+    "fr": frozenset("le la les et de des est dans pour que une avec sur pas".split()),
+    "pl": frozenset("i w na z do że się nie jest to przez jak dla oraz".split()),
+}
+_WORD_RE = re.compile(r"[a-ząćęłńóśźżüäößéèêàç]+")
+
+
+def identify_language(text: str) -> str:
+    """Deterministic stopword-vote lang-id; 'und' (undetermined) on ties/empty."""
+    words = _WORD_RE.findall((text or "").lower())
+    if not words:
+        return "und"
+    scores = {
+        lang: sum(1 for w in words if w in profile)
+        for lang, profile in _LANG_PROFILES.items()
+    }
+    best = max(scores, key=lambda k: (scores[k], k))
+    if scores[best] == 0:
+        return "und"
+    # ties broken lexicographically by the max() key above — deterministic
+    return best
+
+
+def lang_id_kernel(text_col: str = "text", out_col: str = "lang_pred"):
+    """mapInPandas kernel factory: adds a predicted-language column."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [identify_language(t) for t in pdf[text_col]]
+            yield pdf
+
+    return kernel
+
+
+# =========================================================================
+# SimHash (64-bit) — near-dup fingerprint (Arrow kernel)
+# =========================================================================
+def _hash64(token: str) -> int:
+    """Stable 64-bit hash (FNV-1a) — no PYTHONHASHSEED dependence."""
+    h = 0xCBF29CE484222325
+    for b in token.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (signed for Spark LongType)."""
+    tokens = (text or "").split()
+    if not tokens:
+        return 0
+    weights = [0] * 64
+    for tok in tokens:
+        h = _hash64(tok)
+        for bit in range(64):
+            weights[bit] += 1 if (h >> bit) & 1 else -1
+    sig = 0
+    for bit in range(64):
+        if weights[bit] > 0:
+            sig |= 1 << bit
+    return struct.unpack("<q", struct.pack("<Q", sig))[0]
+
+
+def simhash_kernel(text_col: str = "text", out_col: str = "simhash"):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [simhash64(t) for t in pdf[text_col]]
+            yield pdf
+
+    return kernel
+
+
+# =========================================================================
+# MinHash + LSH near-dup detection (kernel for signatures, DataFrame
+# ops for banding/bucketing — the scale path is the band-bucket join)
+# =========================================================================
+_SHINGLE_W = 5      # words per shingle
+_N_PERM = 64        # minhash permutations
+_N_BANDS = 16       # LSH bands (4 rows/band)
+_MERSENNE = (1 << 61) - 1
+
+# deterministic permutation parameters (seeded once, module-level)
+import random as _random
+
+_perm_rng = _random.Random(0x5EED)
+_PERMS = [
+    (_perm_rng.randrange(1, _MERSENNE), _perm_rng.randrange(0, _MERSENNE))
+    for _ in range(_N_PERM)
+]
+
+
+def minhash_signature(text: str) -> list[int]:
+    """64-permutation MinHash over 5-word shingles."""
+    words = (text or "").split()
+    if len(words) < _SHINGLE_W:
+        shingles = {" ".join(words)} if words else set()
+    else:
+        shingles = {
+            " ".join(words[i : i + _SHINGLE_W])
+            for i in range(len(words) - _SHINGLE_W + 1)
+        }
+    if not shingles:
+        return [0] * _N_PERM
+    hashes = [_hash64(s) % _MERSENNE for s in shingles]
+    return [
+        min(((a * h + b) % _MERSENNE) for h in hashes) & 0x7FFFFFFFFFFFFFFF
+        for a, b in _PERMS
+    ]
+
+
+def minhash_kernel(text_col: str = "text", out_col: str = "minhash"):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [minhash_signature(t) for t in pdf[text_col]]
+            yield pdf
+
+    return kernel
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash") -> DataFrame:
+    """MinHash-LSH candidate pairs via band-bucket self-grouping.
+
+    Scale path: explode signatures into (band, band_hash) buckets,
+    group by bucket, emit intra-bucket pairs — the shuffle is on band
+    hashes, never a cross join.  Output: (id_a, id_b) with id_a < id_b,
+    distinct.
+    """
+    rows_per_band = _N_PERM // _N_BANDS
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(sig_col)[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    grouped = banded.groupBy("band", "band_hash").agg(
+        F.collect_list(id_col).alias("ids")
+    ).filter(F.size("ids") > 1)
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    return pairs.distinct()
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Character n-gram Jaccard similarity (verification of candidates)."""
+    ga = {a[i : i + n] for i in range(max(len(a) - n + 1, 0))} or {a}
+    gb = {b[i : i + n] for i in range(max(len(b) - n + 1, 0))} or {b}
+    return len(ga & gb) / len(ga | gb)

@@ -1,0 +1,103 @@
+"""Mini-driver: replicate the harness's queries()/oracle_sql() compare
+(row count + column names + order-insensitive value hash) via DuckDB."""
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def _value_hash(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "\x1f".join(_norm(r[i]) for i in order) for r in rows
+    )
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+def test_every_oracle_key_has_a_query():
+    qs = entry_mod.queries()
+    for k in ORACLE_KEYS:
+        assert k in qs
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    sh = _value_hash(spark_rows, spark_cols)
+    dh = _value_hash(duck_rows, duck_cols)
+    if sh != dh:
+        s_lines = sorted(spark_rows)
+        d_lines = sorted(duck_rows)
+        diffs = [
+            (a, b) for a, b in zip(s_lines, d_lines) if a != b
+        ][:5]
+        pytest.fail(f"{name}: value hash mismatch; first diffs: {diffs}")
+
+
+def test_rows_only_queries_run(spark):
+    qs = entry_mod.queries()
+    for name in set(qs) - set(ORACLE_KEYS):
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    n = df.count()
+    assert n == 500  # sf0.001 documents
+    schema = df.schema.simpleString()
+    assert "markdown:string" in schema and "spans:array" in schema
+    sample = df.filter("n_chars > 0").first()
+    assert sample.markdown.startswith("<!-- Page 1 | Type: ")
