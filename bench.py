@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Benchmark harness: prints ONE JSON line.
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <float>, ...extras}
+
+Headline: end-to-end extraction (docs/sec) over a deterministic
+synthetic pages table sized by SF (materialized to parquet once and
+reused), plus the relational/driver queries at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_N_PAGES (override page count),
+     BENCH_MODE=full|extract (default full).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+# pages per unit SF: sf0.1 -> 400k synthetic pages (~650 MB parquet)
+PAGES_PER_SF = 4_000_000
+SEED = 42
+
+
+def materialize_pages(spark, n_pages: int) -> str:
+    """Generate-once, reuse: the bench input parquet, deterministic."""
+    path = f"/tmp/spark_graft_bench/pages_n{n_pages}_s{SEED}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from ocr_pipeline_spark.fixtures.gen_pages import generate_pages_df
+
+        generate_pages_df(spark, n_pages, SEED).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    n_pages = int(os.environ.get("BENCH_N_PAGES", str(int(PAGES_PER_SF * sf))))
+    mode = os.environ.get("BENCH_MODE", "full")
+
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.plans.job import default_session, run_extraction
+
+    spark = default_session(
+        f"local[{cpus}]", app_name="bench", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    pages_path = materialize_pages(spark, n_pages)
+
+    # --- headline: end-to-end extraction ---------------------------------
+    # (a) north-rule plan: salted host co-location shuffle before the kernel
+    t0 = time.time()
+    out = run_extraction(
+        spark, spark.read.parquet(pages_path), describe=True,
+        num_partitions=cpus * 2, co_locate_hosts=True,
+    )
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+    ).collect()[0]
+    t_extract = time.time() - t0
+    timings["extract_pages"] = round(t_extract, 3)
+    extras["docs_per_sec"] = round(agg["n"] / t_extract, 1)
+    extras["n_pages"] = int(agg["n"])
+    extras["chars_out"] = int(agg["chars"])
+
+    # (b) map-only fast path (no input shuffle) — byte-identical output
+    t0 = time.time()
+    run_extraction(
+        spark, spark.read.parquet(pages_path), describe=True,
+        co_locate_hosts=False,
+    ).agg(F.count("*")).collect()
+    t_map = time.time() - t0
+    timings["extract_pages_maponly"] = round(t_map, 3)
+    extras["docs_per_sec_maponly"] = round(n_pages / t_map, 1)
+
+    if mode == "full":
+        import __spark_entry__ as entry_mod
+
+        bench_queries = [
+            "pricing_summary", "revenue_by_nation", "top_orders",
+            "latest_event_per_user", "events_daily", "docs_by_lang",
+            "dedup_exact", "token_stats", "quality_scores",
+            "embedding_knn", "extract_documents", "lang_simhash",
+            "minhash_dup_pairs",
+        ]
+        qs = entry_mod.queries()
+        for name in bench_queries:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.agg(F.count("*")).collect()
+            timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "extracted docs/sec (byte-identical per url) + query suite sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

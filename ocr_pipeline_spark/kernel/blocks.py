@@ -57,6 +57,12 @@ _BR_SENTINEL = "\ufffe"
 # pages can nest thousands of divs; Python's recursion limit is ~1000).
 _MAX_DEPTH = 120
 
+# block-level tags that force separation when nested in inline context
+_BLOCK_IN_INLINE = frozenset(
+    "p div section article blockquote li ul ol table tr td th thead tbody "
+    "tfoot h1 h2 h3 h4 h5 h6 pre dl dt dd figure".split()
+)
+
 # diagram signals inside <pre> blocks
 _ARROW_RE = re.compile(r"-->|->>|->|→|─|━|│|┌|└|┐|┘|\+--")
 _FLOW_HINT_RE = re.compile(r"\b(?:flowchart|graph\s+(?:td|lr|rl|bt)|start|end|yes|no|decision)\b", re.IGNORECASE)
@@ -168,6 +174,13 @@ class _Renderer:
                 parts.append(f"`{inner}`" if inner.strip() else inner)
             elif tag == "img":
                 parts.append(self._figure_ref(child))
+            elif tag in _BLOCK_IN_INLINE:
+                # block element nested in inline context (malformed HTML):
+                # force line separation so adjacent words don't fuse
+                inner, lc = self._inline(child, in_link, depth + 1)
+                link_chars += lc
+                if inner:
+                    parts.append(_BR_SENTINEL + inner + _BR_SENTINEL)
             else:
                 inner, lc = self._inline(child, in_link, depth + 1)
                 link_chars += lc
@@ -241,7 +254,8 @@ class _Renderer:
                     for cell in child.children:
                         if isinstance(cell, Node) and cell.tag in ("td", "th"):
                             text, _ = self._inline(cell)
-                            cells.append(text.replace("|", "\\|").replace("\n", " "))
+                            flat = _WS_RE.sub(" ", text.replace("\n", " ")).strip()
+                            cells.append(flat.replace("|", "\\|"))
                     rows.append(cells)
                 elif child.tag in ("thead", "tbody", "tfoot"):
                     collect(child)

@@ -100,9 +100,16 @@ class _TreeBuilder(HTMLParser):
     def _top(self) -> Node:
         return self._stack[-1]
 
+    _HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
     def _implied_closes(self, tag: str) -> None:
         siblings = _SIBLING_CLOSERS.get(tag)
         while len(self._stack) > 1 and siblings and self._top().tag in siblings:
+            self._stack.pop()
+        # a block element opening inside an unclosed heading closes it —
+        # browsers nest here, but for text extraction a truncated <h1>
+        # must not swallow the rest of the page
+        if tag in _P_CLOSERS and self._top().tag in self._HEADING_TAGS:
             self._stack.pop()
         if tag in _P_CLOSERS:
             # close an open <p> anywhere above the nearest block boundary

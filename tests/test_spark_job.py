@@ -69,6 +69,13 @@ def test_partitioning_invariance(spark, fused_result):
         ).collect()
     }
     assert alt == fused_result
+    map_only = {
+        r.url: r.markdown
+        for r in run_extraction(
+            spark, pages3, describe=True, co_locate_hosts=False
+        ).collect()
+    }
+    assert map_only == fused_result
 
 
 def test_describe_off_changes_only_diagram_pages(spark, pages, fused_result):
