@@ -180,6 +180,7 @@ def run_pipeline(
     chunk_size: int | None = None,
     num_partitions: int | None = None,
     salt: int = 8,
+    co_locate_hosts: bool = True,
     max_chunks: int | None = None,
 ) -> dict:
     """The resumable end-to-end job (SURVEY.md §3.4).
@@ -222,6 +223,7 @@ def run_pipeline(
             run_extraction(
                 spark, pages_chunk, describe=describe, mode=mode,
                 num_partitions=num_partitions, salt=salt,
+                co_locate_hosts=co_locate_hosts,
             ),
             n_buckets,
         )
