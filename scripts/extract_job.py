@@ -22,6 +22,12 @@ import json
 import os
 import sys
 
+# direct `python scripts/extract_job.py` runs (no --py-files zip): make
+# the repo root importable
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def parse_args(argv: list[str]) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="PySpark main-content extraction")
