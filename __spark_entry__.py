@@ -251,6 +251,26 @@ def _q_minhash_dup_pairs(spark, sf_dir):
     return lsh_candidate_pairs(sigs, "doc_id").orderBy("id_a", "id_b")
 
 
+def _q_ann_lsh(spark, sf_dir):
+    from ocr_pipeline_spark.operators.ann import lsh_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return lsh_ann_topk(
+        e.filter(F.col("vec_id") != 0), "embedding", "vec_id", query,
+        k=10, n_planes=4, n_tables=12,
+    )
+
+
+def _q_near_dup_verified(spark, sf_dir):
+    from ocr_pipeline_spark.operators.text_ops import verified_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return verified_near_dups(d, "doc_id", "text", threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -266,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_documents": _q_extract_documents,
         "lang_simhash": _q_lang_simhash,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
+        "ann_lsh": _q_ann_lsh,
+        "near_dup_verified": _q_near_dup_verified,
     }
 
 

@@ -231,3 +231,44 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     ga = {a[i : i + n] for i in range(max(len(a) - n + 1, 0))} or {a}
     gb = {b[i : i + n] for i in range(max(len(b) - n + 1, 0))} or {b}
     return len(ga & gb) / len(ga | gb)
+
+
+def verified_near_dups(
+    df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.6
+) -> DataFrame:
+    """End-to-end near-dup detection: minhash signatures (Arrow kernel)
+    → LSH band-bucket candidate pairs (grouped shuffle, no cross join)
+    → n-gram-Jaccard verification of candidates only (Arrow kernel).
+
+    Output: (id_a, id_b, jaccard) for verified pairs, jaccard rounded
+    to 4 dp.  The verify join hydrates candidate texts by id — at scale
+    the candidate set is tiny relative to the corpus, so both hydration
+    joins broadcast the pair list.
+    """
+    base = df.select(F.col(id_col).cast("long").alias("_id"), F.col(text_col))
+    sigs = base.mapInPandas(
+        minhash_kernel(text_col),
+        schema=f"_id long, {text_col} string, minhash array<bigint>",
+    )
+    pairs = lsh_candidate_pairs(sigs, "_id")
+    a = base.select(F.col("_id").alias("id_a"), F.col(text_col).alias("_text_a"))
+    b = base.select(F.col("_id").alias("id_b"), F.col(text_col).alias("_text_b"))
+    hydrated = pairs.join(a, "id_a").join(b, "id_b")
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "jaccard": [
+                        round(ngram_jaccard(x or "", y or ""), 4)
+                        for x, y in zip(pdf["_text_a"], pdf["_text_b"])
+                    ],
+                }
+            )
+
+    scored = hydrated.mapInPandas(
+        verify, schema="id_a long, id_b long, jaccard double"
+    )
+    return scored.filter(F.col("jaccard") >= threshold)

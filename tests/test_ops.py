@@ -1,0 +1,211 @@
+"""Text analytics, dedup, ANN, multimodal, config operator tests."""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_pipeline_spark.operators.ann import (
+    add_lsh_signatures,
+    cosine_topk_bruteforce,
+    lsh_ann_topk,
+)
+from ocr_pipeline_spark.operators.multimodal import (
+    FRAMES_DDL,
+    IMAGE_META_DDL,
+    frame_sample_kernel,
+    image_features,
+    image_features_kernel,
+    image_meta_kernel,
+    probe_audio,
+    probe_image,
+)
+from ocr_pipeline_spark.operators.text_ops import (
+    identify_language,
+    lsh_candidate_pairs,
+    minhash_kernel,
+    minhash_signature,
+    ngram_jaccard,
+    simhash64,
+)
+from ocr_pipeline_spark.plans.config import JobConfig, load_config
+
+
+# --- lang id / simhash / minhash (pure) -------------------------------------
+def test_lang_id():
+    assert identify_language("the cat and the dog are in the house") == "en"
+    assert identify_language("der Hund ist nicht auf der Straße und das Haus") == "de"
+    assert identify_language("le chat est dans la maison avec les autres") == "fr"
+    assert identify_language("") == "und"
+    assert identify_language("zzz qqq xxx") == "und"
+
+
+def test_simhash_properties():
+    a = simhash64("the quick brown fox jumps over the lazy dog " * 4)
+    b = simhash64("the quick brown fox jumps over the lazy dogs " * 4)
+    c = simhash64("completely different text about spark shuffles and joins")
+    assert a == simhash64("the quick brown fox jumps over the lazy dog " * 4)
+    ham_ab = bin((a ^ b) & (2**64 - 1)).count("1")
+    ham_ac = bin((a ^ c) & (2**64 - 1)).count("1")
+    assert ham_ab < ham_ac
+    assert simhash64("") == 0
+    assert struct.pack(">q", a)  # fits signed 64-bit
+
+
+def test_minhash_similarity_ordering():
+    base = "word" + " word".join(str(i) for i in range(100))
+    near = base + " extra"
+    far = " ".join(f"tok{i}" for i in range(100))
+    s0, s1, s2 = (minhash_signature(t) for t in (base, near, far))
+    sim01 = sum(a == b for a, b in zip(s0, s1)) / len(s0)
+    sim02 = sum(a == b for a, b in zip(s0, s2)) / len(s0)
+    assert sim01 > 0.5 > sim02
+    assert len(s0) == 64 and all(v >= 0 for v in s0)
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert ngram_jaccard("abcdef", "zzzzzz") == 0.0
+    assert 0.0 < ngram_jaccard("abcdefgh", "abcdefxx") < 1.0
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    base = " ".join(f"w{i}" for i in range(200))
+    rows = [(0, base), (1, base + " tail"), (2, " ".join(f"q{i}" for i in range(200)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = df.mapInPandas(
+        minhash_kernel(), schema="doc_id long, text string, minhash array<bigint>"
+    )
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+# --- ANN ----------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_bruteforce_topk_matches_duckdb_style(emb, spark):
+    query = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    top = cosine_topk_bruteforce(
+        emb.filter("vec_id != 0"), "embedding", "vec_id", query, k=5
+    ).collect()
+    assert len(top) == 5
+    assert all(-1.0 <= r.cos_sim <= 1.0 for r in top)
+    sims = [r.cos_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_recall(emb):
+    # the fixture embeddings are near-orthogonal (best cosine ~0.37), the
+    # hardest LSH regime: use short signatures + many tables
+    query = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    pool = emb.filter("vec_id != 0")
+    exact = [r.vec_id for r in cosine_topk_bruteforce(pool, "embedding", "vec_id", query, 10).collect()]
+    approx = [
+        r.vec_id
+        for r in lsh_ann_topk(
+            pool, "embedding", "vec_id", query, k=10, n_planes=4, n_tables=12
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall@10={recall} exact={exact} approx={approx}"
+
+
+def test_lsh_signatures_deterministic(emb):
+    a = add_lsh_signatures(emb.limit(20), "embedding", 64).select("vec_id", "sig_0").collect()
+    b = add_lsh_signatures(emb.limit(20), "embedding", 64).select("vec_id", "sig_0").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- multimodal ------------------------------------------------------------
+_PNG = (
+    b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+    + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"x" * 50
+)
+_GIF = b"GIF89a" + struct.pack("<HH", 320, 200) + b"y" * 30
+_WAV = (
+    b"RIFF" + struct.pack("<I", 36 + 8000) + b"WAVEfmt "
+    + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+    + b"data" + struct.pack("<I", 8000) + b"\x00" * 8000
+)
+
+
+def test_probe_image_formats():
+    png = probe_image(_PNG)
+    assert (png["format"], png["width"], png["height"]) == ("png", 640, 480)
+    gif = probe_image(_GIF)
+    assert (gif["format"], gif["width"], gif["height"]) == ("gif", 320, 200)
+    assert probe_image(b"")["format"] == "empty"
+    assert probe_image(b"garbage")["format"] == "unknown"
+
+
+def test_probe_audio_wav():
+    wav = probe_audio(_WAV)
+    assert wav["format"] == "wav"
+    assert wav["sample_rate"] == 44100
+    assert wav["n_channels"] == 2
+    assert wav["n_frames"] == 8000 // 4
+
+
+def test_image_features_shape_and_determinism():
+    f = image_features(_PNG, dim=16)
+    assert len(f) == 16
+    assert abs(sum(f) - 1.0) < 1e-3
+    assert f == image_features(_PNG, dim=16)
+
+
+def test_multimodal_spark_plumbing(spark):
+    rows = [(1, _PNG), (2, _GIF), (3, None), (4, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = df.mapInPandas(
+        image_meta_kernel(),
+        schema=f"media_id long, media binary, image_meta {IMAGE_META_DDL}",
+    )
+    metas = {r.media_id: r.image_meta for r in out.collect()}
+    assert metas[1].format == "png" and metas[1].width == 640
+    assert metas[3].format == "empty"
+
+    feats = df.mapInPandas(
+        image_features_kernel(dim=8),
+        schema="media_id long, media binary, features array<float>",
+    ).collect()
+    assert all(len(r.features) == 8 for r in feats)
+
+    frames = df.mapInPandas(
+        frame_sample_kernel(every_n_bytes=32),
+        schema=f"media_id long, media binary, frames {FRAMES_DDL}",
+    ).collect()
+    by_id = {r.media_id: r.frames for r in frames}
+    assert len(by_id[1]) == (len(_PNG) + 31) // 32
+    assert by_id[3] == []
+
+
+def test_decode_stub_raises_without_codecs():
+    from ocr_pipeline_spark.operators import multimodal
+
+    if not multimodal._HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            multimodal._decode_image(_PNG)
+
+
+# --- config -------------------------------------------------------------------
+def test_config_defaults_and_validation():
+    cfg = load_config(env={})
+    assert cfg.describe_diagrams is True and cfg.mode == "fused"
+    with pytest.raises(ValueError):
+        JobConfig(mode="bogus").validate()
+
+
+def test_config_cascade_and_env(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text('{"mode": "staged", "n_buckets": 8}')
+    cfg = load_config(str(p), env={})
+    assert cfg.mode == "staged" and cfg.n_buckets == 8
+    cfg2 = load_config(str(p), env={"EXTRACT_N_BUCKETS": "32",
+                                    "EXTRACT_DESCRIBE_DIAGRAMS": "0"})
+    assert cfg2.n_buckets == 32 and cfg2.describe_diagrams is False
+    cfg3 = load_config(env={"EXTRACT_CONFIG": str(p)})
+    assert cfg3.mode == "staged"
