@@ -15,6 +15,7 @@ Design constraints:
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 
@@ -124,17 +125,26 @@ class _TreeBuilder(HTMLParser):
                 if len(self._stack) > 1 and self._top().tag == "p":
                     self._stack.pop()
 
-    # -- HTMLParser callbacks ---------------------------------------------
-    def handle_starttag(self, tag: str, attrs) -> None:
+    # -- shared start-tag entry (both tokenizers) ---------------------------
+    def _handle_start_parsed(
+        self, tag: str, attrs: dict[str, str], self_closing: bool
+    ) -> None:
         self._implied_closes(tag)
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        node = Node(tag, attrs)
         self._top().children.append(node)
-        if tag not in VOID_TAGS:
+        if not self_closing and tag not in VOID_TAGS:
             self._stack.append(node)
 
+    # -- HTMLParser callbacks ---------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._handle_start_parsed(
+            tag, {k: (v if v is not None else "") for k, v in attrs}, False
+        )
+
     def handle_startendtag(self, tag: str, attrs) -> None:
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
-        self._top().children.append(node)
+        self._handle_start_parsed(
+            tag, {k: (v if v is not None else "") for k, v in attrs}, True
+        )
 
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_TAGS:
@@ -150,10 +160,8 @@ class _TreeBuilder(HTMLParser):
             self._top().children.append(data)
 
 
-def parse_html(html: str | bytes) -> Node:
-    """Parse an HTML document (bytes are decoded as UTF-8, replacing errors)."""
-    if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", errors="replace")
+def _parse_html_stdlib(html: str) -> Node:
+    """Reference tokenizer: stdlib html.parser driving the tree builder."""
     builder = _TreeBuilder()
     try:
         builder.feed(html)
@@ -163,3 +171,138 @@ def parse_html(html: str | bytes) -> Node:
         # treated as truncation — keep whatever tree was built so far.
         pass
     return builder.root
+
+
+# --- fast tokenizer ----------------------------------------------------------
+# html.parser spends most of its time in position tracking and eager
+# attribute parsing (profiled: ~70% of kernel CPU).  This scanner emits
+# the same callback stream into the same _TreeBuilder, but: attributes
+# are parsed lazily (only for tags whose attrs the renderer reads),
+# entity unescaping runs only when '&' is present, and raw-text elements
+# (script/style/...) are skipped with a single find().
+
+import html as _html_mod
+
+_TAG_RE = re.compile(
+    r"<(?:"
+    r"!--(?P<comment>.*?)(?:-->|$)"
+    r"|!\[CDATA\[(?P<cdata>.*?)(?:\]\]>|$)"
+    r"|(?P<decl>![^>]*)>"
+    r"|\?(?P<pi>[^>]*)>"
+    r"|(?P<end>/)?(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*)(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(?P<selfclose>/?)>"
+    r")",
+    re.DOTALL,
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
+)
+
+# tags whose attributes the renderer actually reads (id/class/role/alt);
+# everything else skips attribute parsing entirely
+_ATTR_TAGS = frozenset(
+    "div section article main aside nav header footer span center details "
+    "summary table ul ol p blockquote pre img figure svg h1 h2 h3 h4 h5 h6 "
+    "body dl menu form iframe".split()
+)
+
+# raw-text elements: content is literal until the matching end tag
+_RAW_TEXT = ("script", "style", "textarea", "title")
+
+
+def _parse_attrs(raw: str) -> dict[str, str]:
+    attrs: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        value = m.group(2)
+        if value is None:
+            value = ""
+        elif value[:1] in ("'", '"'):
+            value = value[1:-1]
+        if "&" in value:
+            value = _html_mod.unescape(value)
+        if name not in attrs:
+            attrs[name] = value
+    return attrs
+
+
+def _parse_html_fast(html: str) -> Node:
+    builder = _TreeBuilder()
+    top_children = builder.root.children  # fast-path text append
+    pos = 0
+    n = len(html)
+    while pos < n:
+        lt = html.find("<", pos)
+        if lt == -1:
+            lt = n
+        if lt > pos:
+            text = html[pos:lt]
+            if "&" in text:
+                text = _html_mod.unescape(text)
+            builder._stack[-1].children.append(text)
+        if lt >= n:
+            break
+        m = _TAG_RE.match(html, lt)
+        if m is None:
+            # stray '<' — literal text, as html.parser treats it
+            builder._stack[-1].children.append("<")
+            pos = lt + 1
+            continue
+        pos = m.end()
+        name = m.group("name")
+        if name is None:
+            continue  # comment/decl/cdata/pi: dropped
+        tag = name.lower()
+        if m.group("end"):
+            builder.handle_endtag(tag)
+            continue
+        attrs_raw = m.group("attrs")
+        if attrs_raw and (
+            tag in _ATTR_TAGS
+            or "class" in attrs_raw
+            or "id" in attrs_raw
+            or "role" in attrs_raw
+            or "alt" in attrs_raw
+        ):
+            attrs = _parse_attrs(attrs_raw)
+        else:
+            attrs = {}
+        if m.group("selfclose") and tag not in VOID_TAGS:
+            builder._handle_start_parsed(tag, attrs, self_closing=True)
+            continue
+        builder._handle_start_parsed(tag, attrs, self_closing=False)
+        if tag in _RAW_TEXT:
+            close = html.find(f"</{tag}", pos)
+            if close == -1:
+                close_ci = html.lower().find(f"</{tag}", pos)
+                close = close_ci
+            if close == -1:
+                raw = html[pos:]
+                pos = n
+            else:
+                raw = html[pos:close]
+                gt = html.find(">", close)
+                pos = n if gt == -1 else gt + 1
+            if raw:
+                builder._stack[-1].children.append(raw)
+            builder.handle_endtag(tag)
+    del top_children
+    return builder.root
+
+
+def parse_html(html: str | bytes, tokenizer: str = "fast") -> Node:
+    """Parse an HTML document (bytes are decoded as UTF-8, replacing errors).
+
+    `tokenizer='fast'` (default) uses the regex scanner; `'stdlib'` uses
+    html.parser.  Both drive the same tree builder and are asserted to
+    produce identical extraction output over the fixture corpus
+    (tests/test_dom_blocks.py::test_fast_tokenizer_equivalence).
+    """
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    if tokenizer == "stdlib":
+        return _parse_html_stdlib(html)
+    try:
+        return _parse_html_fast(html)
+    except Exception:
+        # any scanner bug degrades to the slow, battle-tested path
+        return _parse_html_stdlib(html)

@@ -180,3 +180,55 @@ def test_plain_pre_is_code():
     blocks, stats = render_blocks(html)
     assert stats.n_diagrams == 0
     assert blocks[0].kind == "code"
+
+
+# --- fast tokenizer equivalence -------------------------------------------
+def test_fast_tokenizer_equivalence_on_corpus():
+    """The regex scanner and stdlib html.parser must yield identical
+    extraction output over the fixture corpus (dom.parse_html contract)."""
+    from ocr_pipeline_spark.fixtures.gen_pages import generate_rows
+    from ocr_pipeline_spark.kernel import dom
+
+    def rendered(root):
+        r = _Renderer()
+        r._walk_children(select_main_root(root))
+        return "\n\n".join(b.text for b in r.blocks)
+
+    from ocr_pipeline_spark.kernel.blocks import _Renderer
+
+    for p in generate_rows(400, 13):
+        h = p["html"].decode()
+        assert rendered(dom._parse_html_fast(h)) == rendered(
+            dom._parse_html_stdlib(h)
+        ), p["url"]
+
+
+def test_fast_tokenizer_edge_cases():
+    from ocr_pipeline_spark.kernel import dom
+
+    cases = [
+        "<p>a &amp; b</p>",
+        "<p>a < b and c > d</p>",
+        "<script>if (a<b) {x='</div>'}</script><p>keep</p>",
+        "<!-- comment --><p>x</p>",
+        "<![CDATA[junk]]><p>y</p>",
+        "<?php echo ?><p>z</p>",
+        "<br/><img src='a'/>",
+        '<div CLASS="Sidebar">drop</div><p>keep</p>',
+        "<p title='a>b'>tricky</p>",
+        "<p>trunc",
+        "<p>bad & entity &fake; &#65;</p>",
+        "<style>.a{content:'<'}</style><p>s</p>",
+        "<textarea><p>not a tag</p></textarea><p>after</p>",
+    ]
+    from ocr_pipeline_spark.kernel.blocks import _Renderer
+
+    def rendered(root):
+        r = _Renderer()
+        r._walk_children(select_main_root(root))
+        return "\n\n".join(b.text for b in r.blocks)
+
+    for h in cases:
+        assert rendered(dom._parse_html_fast(h)) == rendered(
+            dom._parse_html_stdlib(h)
+        ), h

@@ -110,3 +110,19 @@ def test_spans_cover_all_non_blank_text():
     for i, ch in enumerate(r.markdown):
         if not ch.isspace():
             assert i in covered
+
+
+@given(_html)
+@settings(max_examples=200, deadline=None)
+def test_tokenizer_equivalence_property(html):
+    from ocr_pipeline_spark.kernel import dom
+    from ocr_pipeline_spark.kernel.blocks import _Renderer, select_main_root
+
+    def rendered(root):
+        r = _Renderer()
+        r._walk_children(select_main_root(root))
+        return "\n\n".join(b.text for b in r.blocks)
+
+    assert rendered(dom._parse_html_fast(html)) == rendered(
+        dom._parse_html_stdlib(html)
+    )
