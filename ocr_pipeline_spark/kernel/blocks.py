@@ -109,22 +109,40 @@ def _is_chrome(node: Node) -> bool:
     return False
 
 
+_CONTENT_IDS = frozenset(
+    ("content", "main", "main-content", "maincontent", "article", "post")
+)
+
+
 def select_main_root(doc: Node) -> Node:
-    """Pick the content root: <main> > <article> > role=main > content ids > <body>."""
-    for n in doc.find_all("main"):
-        return n
-    for n in doc.find_all("article"):
-        return n
-    for n in doc.find_all():
-        if n.attr("role").lower() == "main":
-            return n
-    for n in doc.find_all("div", "section"):
-        ident = n.attr("id").lower()
-        if ident in ("content", "main", "main-content", "maincontent", "article", "post"):
-            return n
-    for n in doc.find_all("body"):
-        return n
-    return doc
+    """Pick the content root: <main> > <article> > role=main > content ids
+    > <body>.  Single pre-order traversal; priority ties broken by
+    document order (first match of the highest available tier wins)."""
+    article = role_main = content_div = body = None
+    stack = list(reversed(doc.children))
+    while stack:
+        node = stack.pop()
+        if isinstance(node, str):
+            continue
+        tag = node.tag
+        if tag == "main":
+            return node
+        if tag == "article":
+            if article is None:
+                article = node
+        elif node.attrs:
+            if role_main is None and node.attrs.get("role", "").lower() == "main":
+                role_main = node
+            elif (
+                content_div is None
+                and tag in ("div", "section")
+                and node.attrs.get("id", "").lower() in _CONTENT_IDS
+            ):
+                content_div = node
+        if tag == "body" and body is None:
+            body = node
+        stack.extend(reversed(node.children))
+    return article or role_main or content_div or body or doc
 
 
 class _Renderer:

@@ -80,10 +80,17 @@ def fused_extract_kernel(describe: bool):
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for url, warc_ts, html, lang in zip(
-                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
-            ):
+            # columnar construction: ~2x cheaper than row tuples through
+            # pandas object inference at this row width
+            n = len(pdf)
+            cols: dict[str, list] = {
+                "page_num": [0] * n, "classification": [None] * n,
+                "method": [""] * n, "markdown": [""] * n,
+                "description": [""] * n, "spans": [None] * n,
+                "n_chars": [0] * n, "n_figures": [0] * n,
+                "n_html_bytes": [0] * n,
+            }
+            for i, (url, html) in enumerate(zip(pdf["url"], pdf["html"])):
                 body, cls, diagram_sources, n_figures = extract_body(html)
                 description = ""
                 if describe and wants_description(cls) and diagram_sources:
@@ -92,22 +99,24 @@ def fused_extract_kernel(describe: bool):
                 markdown, method, spans = finalize_page(
                     body, cls, description, page_num
                 )
-                rows.append(
-                    (
-                        url, warc_ts, lang, page_num,
-                        _cls_cell(cls), method, markdown, description,
-                        spans, len(markdown), n_figures,
-                        len(html) if html is not None else 0,
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "warc_ts", "lang", "page_num", "classification",
-                    "method", "markdown", "description", "spans",
-                    "n_chars", "n_figures", "n_html_bytes",
-                ],
+                cols["page_num"][i] = page_num
+                cols["classification"][i] = _cls_cell(cls)
+                cols["method"][i] = method
+                cols["markdown"][i] = markdown
+                cols["description"][i] = description
+                cols["spans"][i] = spans
+                cols["n_chars"][i] = len(markdown)
+                cols["n_figures"][i] = n_figures
+                cols["n_html_bytes"][i] = len(html) if html is not None else 0
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"].reset_index(drop=True),
+                    "warc_ts": pdf["warc_ts"].reset_index(drop=True),
+                    "lang": pdf["lang"].reset_index(drop=True),
+                    **cols,
+                }
             )
+            yield out
 
     return kernel
 
