@@ -125,25 +125,29 @@ def fused_extract_kernel(describe: bool):
 def stage1_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Classify + extract + clean (no describe, no finalize)."""
     for pdf in batches:
-        rows = []
-        for url, warc_ts, html, lang in zip(
-            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
-        ):
+        n = len(pdf)
+        cols: dict[str, list] = {
+            "page_num": [0] * n, "classification": [None] * n,
+            "body": [""] * n, "diagram_sources": [None] * n,
+            "n_figures": [0] * n, "n_html_bytes": [0] * n,
+        }
+        for i, (url, html) in enumerate(zip(pdf["url"], pdf["html"])):
             body, cls, diagram_sources, n_figures = extract_body(html)
-            rows.append(
-                (
-                    url, warc_ts, lang, page_num_from_url(url),
-                    _cls_cell(cls), body,
-                    diagram_sources if wants_description(cls) else [],
-                    n_figures, len(html) if html is not None else 0,
-                )
+            cols["page_num"][i] = page_num_from_url(url)
+            cols["classification"][i] = _cls_cell(cls)
+            cols["body"][i] = body
+            cols["diagram_sources"][i] = (
+                diagram_sources if wants_description(cls) else []
             )
+            cols["n_figures"][i] = n_figures
+            cols["n_html_bytes"][i] = len(html) if html is not None else 0
         yield pd.DataFrame(
-            rows,
-            columns=[
-                "url", "warc_ts", "lang", "page_num", "classification",
-                "body", "diagram_sources", "n_figures", "n_html_bytes",
-            ],
+            {
+                "url": pdf["url"].reset_index(drop=True),
+                "warc_ts": pdf["warc_ts"].reset_index(drop=True),
+                "lang": pdf["lang"].reset_index(drop=True),
+                **cols,
+            }
         )
 
 
@@ -163,30 +167,40 @@ def describe_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def finalize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """A1 merge + A2 header + spans over joined (stage1 ⟕ descriptions)."""
     for pdf in batches:
-        rows = []
-        for url, warc_ts, lang, page_num, cls_row, body, desc, n_figures, n_html in zip(
-            pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["page_num"],
-            pdf["classification"], pdf["body"], pdf["description"],
-            pdf["n_figures"], pdf["n_html_bytes"],
-        ):
+        n = len(pdf)
+        cols: dict[str, list] = {
+            "classification": [None] * n, "method": [""] * n,
+            "markdown": [""] * n, "description": [""] * n,
+            "spans": [None] * n, "n_chars": [0] * n,
+        }
+        for i, (page_num, cls_row, body, desc) in enumerate(zip(
+            pdf["page_num"], pdf["classification"], pdf["body"],
+            pdf["description"],
+        )):
             cls = dict(zip(_CLS_KEYS, cls_row)) if not isinstance(cls_row, dict) else cls_row
             description = desc if isinstance(desc, str) and desc else ""
             markdown, method, spans = finalize_page(
                 body, cls, description, int(page_num)
             )
-            rows.append(
-                (
-                    url, warc_ts, lang, int(page_num),
-                    _cls_cell(cls), method, markdown, description,
-                    spans, len(markdown), int(n_figures),
-                    int(n_html),
-                )
-            )
+            cols["classification"][i] = _cls_cell(cls)
+            cols["method"][i] = method
+            cols["markdown"][i] = markdown
+            cols["description"][i] = description
+            cols["spans"][i] = spans
+            cols["n_chars"][i] = len(markdown)
         yield pd.DataFrame(
-            rows,
-            columns=[
-                "url", "warc_ts", "lang", "page_num", "classification",
-                "method", "markdown", "description", "spans",
-                "n_chars", "n_figures", "n_html_bytes",
-            ],
+            {
+                "url": pdf["url"].reset_index(drop=True),
+                "warc_ts": pdf["warc_ts"].reset_index(drop=True),
+                "lang": pdf["lang"].reset_index(drop=True),
+                "page_num": pdf["page_num"].reset_index(drop=True),
+                "classification": cols["classification"],
+                "method": cols["method"],
+                "markdown": cols["markdown"],
+                "description": cols["description"],
+                "spans": cols["spans"],
+                "n_chars": cols["n_chars"],
+                "n_figures": pdf["n_figures"].reset_index(drop=True),
+                "n_html_bytes": pdf["n_html_bytes"].reset_index(drop=True),
+            }
         )
