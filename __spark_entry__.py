@@ -207,9 +207,114 @@ def _q_embedding_knn(spark, sf_dir):
     )
 
 
+def _q_events_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("etype")
+    )
+
+
+def _q_custkey_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(big).orderBy("custkey")
+
+
+def _q_custkey_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    all_custs = c.select(F.col("c_custkey").alias("custkey"))
+    big = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_custs.exceptAll(big.distinct()).orderBy("custkey")
+
+
+def _q_custs_no_big_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from ocr_pipeline_spark.operators.ann import cosine_pairs_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs_bruteforce(e, "embedding", "vec_id", 0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # --------------------------------------------------------------------------
 # Kernel queries (no SQL equivalent -> rows-only driver check)
 # --------------------------------------------------------------------------
+def _q_doc_fingerprints(spark, sf_dir):
+    from ocr_pipeline_spark.operators.text_ops import fingerprint_kernel
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_id"), "text"
+    )
+    fps = d.mapInPandas(
+        fingerprint_kernel(),
+        schema="_id long, fingerprints array<bigint>, n_fps long, fp_min bigint",
+    )
+    return fps.select(
+        F.col("_id").alias("doc_id"), "n_fps", "fp_min"
+    ).orderBy("doc_id")
+
+
+def _q_fingerprint_overlap(spark, sf_dir):
+    from ocr_pipeline_spark.operators.text_ops import fingerprint_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint_overlap_pairs(d, "doc_id", "text", min_shared=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from ocr_pipeline_spark.operators.ann import ivf_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return ivf_ann_topk(
+        e.filter(F.col("vec_id") != 0), "embedding", "vec_id", query,
+        k=10, n_cells=16, n_probe=4,
+    )
+
+
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    from ocr_pipeline_spark.operators.ann import cosine_near_dup_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.first().embedding)
+    return cosine_near_dup_lsh(
+        e, "embedding", "vec_id", dim, threshold=0.4, n_planes=4, n_tables=8
+    ).orderBy("id_a", "id_b")
+
+
+
 def _q_extract_documents(spark, sf_dir):
     from ocr_pipeline_spark.fixtures.gen_pages import documents_as_pages_df
     from ocr_pipeline_spark.plans.job import run_extraction
@@ -283,11 +388,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
         "embedding_knn": _q_embedding_knn,
+        "events_rollup": _q_events_rollup,
+        "custkey_intersect": _q_custkey_intersect,
+        "custkey_except": _q_custkey_except,
+        "custs_no_big_orders": _q_custs_no_big_orders,
+        "embedding_near_dup": _q_embedding_near_dup,
         "extract_documents": _q_extract_documents,
         "lang_simhash": _q_lang_simhash,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "near_dup_verified": _q_near_dup_verified,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "fingerprint_overlap": _q_fingerprint_overlap,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }
 
 
@@ -413,6 +527,57 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, e.vec_id
             LIMIT 10
         """,
-        # extract_documents / lang_simhash / minhash_dup_pairs:
-        # kernel-based, not SQL-expressible -> rows-only driver check.
+        "events_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS etype,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY ROLLUP(event_type)
+            ORDER BY etype
+        """,
+        "custkey_intersect": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+            ORDER BY custkey
+        """,
+        "custkey_except": """
+            SELECT c_custkey AS custkey FROM customer
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+            ORDER BY custkey
+        """,
+        "custs_no_big_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+            )
+            ORDER BY c_custkey
+        """,
+        "embedding_near_dup": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                       list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))),
+                       4
+                   ) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(
+                      list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) *
+                       sqrt(list_dot_product(b.v, b.v))),
+                      4
+                  ) >= 0.4
+            ORDER BY id_a, id_b
+        """,
+        # extract_documents / lang_simhash / minhash_dup_pairs / ann_lsh /
+        # ann_ivf / near_dup_verified / doc_fingerprints /
+        # fingerprint_overlap / embedding_near_dup_lsh: kernel-based,
+        # not SQL-expressible -> rows-only driver check.
     }

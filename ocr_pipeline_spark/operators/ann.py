@@ -98,6 +98,173 @@ def _ddl_types(df: DataFrame) -> list[str]:
     return [f.dataType.simpleString() for f in df.schema.fields]
 
 
+def _pair_cosine_col(a_col: str, b_col: str):
+    dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with(dbl(a_col), dbl(b_col), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(dbl(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return dot / (norm(a_col) * norm(b_col))
+
+
+def cosine_pairs_bruteforce(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cos >= t).
+
+    Quadratic verification baseline — JVM expressions only, broadcast
+    self-join.  At scale use cosine_near_dup_lsh below; this exists as
+    the oracle-checkable exact reference."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    joined = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(_pair_cosine_col("_va", "_vb"), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_near_dup_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float,
+    n_planes: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: hyperplane-LSH signatures
+    (Arrow kernel) → per-table bucket grouping → intra-bucket candidate
+    pairs (shuffle on signatures, never a cross join) → exact cosine
+    verify of candidates only."""
+    signed = add_lsh_signatures(df, vec_col, dim, n_planes, n_tables)
+    banded = signed.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.array(*[F.col(f"sig_{t}") for t in range(n_tables)])
+        ).alias("tbl", "sig"),
+    )
+    grouped = (
+        banded.groupBy("tbl", "sig").agg(F.collect_list("_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    hydrated = pairs.join(a, "id_a").join(b, "id_b")
+    return (
+        hydrated.select(
+            "id_a",
+            "id_b",
+            F.round(_pair_cosine_col("_va", "_vb"), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# =========================================================================
+# IVF (inverted-file) ANN — coarse k-means cells + probe-nearest-cells
+# =========================================================================
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    sample_n: int = 512,
+    iters: int = 8,
+) -> list[list[float]]:
+    """Driver-side coarse quantizer on a bounded deterministic sample
+    (smallest xxhash64(id) rows — stable across partitioning).  Standard
+    IVF practice: train on O(cells*40) rows, broadcast centroids; the
+    full data is never collected.  Spherical k-means (cosine)."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), "_id")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([list(r._v) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_cells = min(n_cells, len(X))
+    C = X[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return [[float(x) for x in row] for row in C]
+
+
+def assign_ivf_cells(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Arrow kernel: adds `ivf_cell` (argmax cosine vs broadcast
+    centroids) — the partition key of the ANN index at scale."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    out_ddl = ", ".join(
+        [f"{c} {t}" for c, t in zip(df.columns, _ddl_types(df))]
+        + ["ivf_cell int"]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            pdf["ivf_cell"] = np.argmax(V @ C.T, axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_ddl)
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k: train coarse cells, scan only the n_probe cells
+    nearest the query, exact-cosine re-rank inside them.  At scale the
+    cell assignment is precomputed/partitioned-by, making a query a
+    partition-pruned scan of n_probe/n_cells of the data."""
+    import numpy as np
+
+    centroids = train_ivf_centroids(df, vec_col, id_col, n_cells)
+    C = np.array(centroids, dtype=np.float64)
+    q = np.array(query, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probe = [int(i) for i in np.argsort(-(C @ q))[:n_probe]]
+    celled = assign_ivf_cells(df, vec_col, centroids)
+    candidates = celled.filter(F.col("ivf_cell").isin(probe))
+    return cosine_topk_bruteforce(candidates, vec_col, id_col, query, k)
+
+
 def lsh_ann_topk(
     df: DataFrame,
     vec_col: str,

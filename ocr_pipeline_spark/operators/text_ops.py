@@ -226,6 +226,110 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash") ->
     return pairs.distinct()
 
 
+# =========================================================================
+# Document fingerprinting — Karp-Rabin rolling hash + winnowing
+# (Schleimer/Wilkerson/Aiken, SIGMOD'03; the reference has no analog —
+# this is the training-data-pipeline extension of the dedup family)
+# =========================================================================
+_FP_K = 8     # chars per k-gram
+_FP_W = 16    # winnowing window (guarantee: any match >= w+k-1 chars shares a fingerprint)
+_FP_BASE = 257
+_FP_MOD = (1 << 61) - 1
+
+
+def rolling_kgram_hashes(text: str, k: int = _FP_K) -> list[int]:
+    """Karp-Rabin rolling hashes of every char k-gram (O(n), no re-hash)."""
+    n = len(text)
+    if n == 0:
+        return []
+    if n < k:
+        h = 0
+        for ch in text:
+            h = (h * _FP_BASE + ord(ch)) % _FP_MOD
+        return [h]
+    top = pow(_FP_BASE, k - 1, _FP_MOD)
+    h = 0
+    for ch in text[:k]:
+        h = (h * _FP_BASE + ord(ch)) % _FP_MOD
+    out = [h]
+    for i in range(k, n):
+        h = ((h - ord(text[i - k]) * top) * _FP_BASE + ord(text[i])) % _FP_MOD
+        out.append(h)
+    return out
+
+
+def winnow_fingerprints(text: str, k: int = _FP_K, w: int = _FP_W) -> list[int]:
+    """Winnowed fingerprint set: min hash of each w-window of k-gram
+    hashes (rightmost min on ties), deduped, sorted.  Whitespace is
+    normalized first so formatting doesn't perturb fingerprints."""
+    norm = re.sub(r"\s+", " ", (text or "").strip().lower())
+    hashes = rolling_kgram_hashes(norm, k)
+    if not hashes:
+        return []
+    if len(hashes) <= w:
+        return sorted({min(hashes)})
+    picked: set[int] = set()
+    # O(n) monotone deque over windows of w
+    from collections import deque
+
+    dq: deque[int] = deque()  # indices, increasing hash values
+    for i, h in enumerate(hashes):
+        while dq and hashes[dq[-1]] >= h:  # >= keeps the rightmost min
+            dq.pop()
+        dq.append(i)
+        if dq[0] <= i - w:
+            dq.popleft()
+        if i >= w - 1:
+            picked.add(hashes[dq[0]])
+    return sorted(picked)
+
+
+def fingerprint_kernel(text_col: str = "text"):
+    """mapInPandas kernel: per-doc winnowed fingerprint summary
+    (n_fps, fp_min) + the full fingerprint array for overlap joins."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = [winnow_fingerprints(t) for t in pdf[text_col]]
+            out = pdf.drop(columns=[text_col]).copy()
+            out["fingerprints"] = fps
+            out["n_fps"] = [len(f) for f in fps]
+            out["fp_min"] = [f[0] if f else 0 for f in fps]
+            yield out
+
+    return kernel
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", min_shared: int = 3
+) -> DataFrame:
+    """Docs sharing >= min_shared winnowed fingerprints — the scale path
+    is explode→group-by-fingerprint→intra-bucket pairs→count, i.e. the
+    same banded-shuffle shape as MinHash-LSH (never a cross join)."""
+    base = df.select(F.col(id_col).cast("long").alias("_id"), text_col)
+    fps = base.mapInPandas(
+        fingerprint_kernel(text_col),
+        schema="_id long, fingerprints array<bigint>, n_fps long, fp_min bigint",
+    )
+    exploded = fps.select("_id", F.explode("fingerprints").alias("fp"))
+    grouped = (
+        exploded.groupBy("fp").agg(F.collect_list("_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Character n-gram Jaccard similarity (verification of candidates)."""
     ga = {a[i : i + n] for i in range(max(len(a) - n + 1, 0))} or {a}

@@ -209,3 +209,111 @@ def test_config_cascade_and_env(tmp_path):
     assert cfg2.n_buckets == 32 and cfg2.describe_diagrams is False
     cfg3 = load_config(env={"EXTRACT_CONFIG": str(p)})
     assert cfg3.mode == "staged"
+
+
+# --- fingerprinting (winnowing) ----------------------------------------------
+def test_rolling_kgram_hashes_match_direct():
+    from ocr_pipeline_spark.operators.text_ops import (
+        _FP_BASE,
+        _FP_MOD,
+        rolling_kgram_hashes,
+    )
+
+    s = "the quick brown fox jumps over the lazy dog"
+    k = 8
+    rolled = rolling_kgram_hashes(s, k)
+    assert len(rolled) == len(s) - k + 1
+    for i, h in enumerate(rolled):
+        direct = 0
+        for ch in s[i : i + k]:
+            direct = (direct * _FP_BASE + ord(ch)) % _FP_MOD
+        assert h == direct
+
+
+def test_winnow_fingerprints_properties():
+    from ocr_pipeline_spark.operators.text_ops import winnow_fingerprints
+
+    assert winnow_fingerprints("") == []
+    assert winnow_fingerprints("short") == winnow_fingerprints("short")
+    a = "A long enough paragraph about distributed extraction engines " * 5
+    fa = winnow_fingerprints(a)
+    assert fa == sorted(set(fa)) and len(fa) > 3
+    # whitespace normalization: formatting changes don't perturb fingerprints
+    assert winnow_fingerprints(a.replace(" ", "   \n")) == fa
+    # shared prefix => shared fingerprints (the winnowing guarantee)
+    b = a + " plus an entirely new unrelated suffix about k-means cells."
+    fb = set(winnow_fingerprints(b))
+    assert len(fb & set(fa)) >= len(fa) * 0.8
+
+
+def test_fingerprint_overlap_pairs_detects_near_dups(spark):
+    from ocr_pipeline_spark.operators.text_ops import fingerprint_overlap_pairs
+
+    base = (
+        "Common Crawl pages are extracted by a vectorized Arrow kernel "
+        "that tokenizes the DOM and strips boilerplate by link density. " * 4
+    )
+    rows = [
+        (1, base),
+        (2, base + " One extra trailing sentence changes little."),
+        (3, "A completely different document about spherical k-means "
+            "quantizers and inverted file indexes for embeddings. " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in
+             fingerprint_overlap_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# --- IVF ANN -----------------------------------------------------------------
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    import random
+
+    from ocr_pipeline_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        ivf_ann_topk,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    # 8 well-separated clusters; IVF must recover neighbors of a cluster member
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(8)]
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [float(x + rng.gauss(0, 0.05)) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = [float(x) for x in centers[0]]
+    exact = [r.vec_id for r in
+             cosine_topk_bruteforce(df, "embedding", "vec_id", query, k=10).collect()]
+    approx = [r.vec_id for r in
+              ivf_ann_topk(df, "embedding", "vec_id", query,
+                           k=10, n_cells=8, n_probe=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9
+
+
+def test_cosine_near_dup_lsh_finds_planted_pair(spark):
+    import random
+
+    from ocr_pipeline_spark.operators.ann import (
+        cosine_near_dup_lsh,
+        cosine_pairs_bruteforce,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(100)]
+    near = [x + rng.gauss(0, 0.01) for x in rows[5][1]]  # planted near-dup of 5
+    rows.append((100, near))
+    rows = [(i, [float(x) for x in v]) for i, v in rows]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.id_a, r.id_b) for r in
+             cosine_pairs_bruteforce(df, "embedding", "vec_id", 0.95).collect()}
+    assert (5, 100) in exact
+    approx = {(r.id_a, r.id_b) for r in
+              cosine_near_dup_lsh(df, "embedding", "vec_id", dim, 0.95,
+                                  n_planes=6, n_tables=8).collect()}
+    assert (5, 100) in approx
+    assert approx <= exact  # verify step means no false positives
