@@ -159,7 +159,7 @@ class _Renderer:
     ) -> tuple[str, int]:
         """Render phrasing content: returns (text, link_chars)."""
         if depth > _MAX_DEPTH:
-            text = _WS_RE.sub(" ", node.text(" ")).strip()
+            text = " ".join(node.text(" ").split())
             return text, len(text) if in_link else 0
         parts: list[str] = []
         link_chars = 0
@@ -167,7 +167,7 @@ class _Renderer:
             if isinstance(child, str):
                 parts.append(child)
                 if in_link:
-                    link_chars += len(_WS_RE.sub(" ", child).strip())
+                    link_chars += len(" ".join(child.split()))
                 continue
             tag = child.tag
             if tag in _SKIP_TAGS or tag in _CHROME_TAGS:
@@ -211,7 +211,7 @@ class _Renderer:
     def _figure_ref(self, img: Node) -> str:
         self._fig_counter += 1
         self.stats.n_figures += 1
-        alt = _WS_RE.sub(" ", img.attr("alt")).strip().replace("]", "")
+        alt = " ".join(img.attr("alt").split()).replace("]", "")
         label = alt if alt else "Figure"
         return f"![{label}](figures/{self._fig_counter})"
 
@@ -228,7 +228,7 @@ class _Renderer:
 
     def _render_list(self, node: Node, ordered: bool, depth: int) -> tuple[list[str], int, int]:
         if depth > 40:  # pathological list nesting: flatten
-            text = _WS_RE.sub(" ", node.text(" ")).strip()
+            text = " ".join(node.text(" ").split())
             return ([("  " * 40) + "- " + text] if text else []), 0, len(text)
         lines: list[str] = []
         link_chars = 0
@@ -272,7 +272,7 @@ class _Renderer:
                     for cell in child.children:
                         if isinstance(cell, Node) and cell.tag in ("td", "th"):
                             text, _ = self._inline(cell)
-                            flat = _WS_RE.sub(" ", text.replace("\n", " ")).strip()
+                            flat = " ".join(text.split())
                             cells.append(flat.replace("|", "\\|"))
                     rows.append(cells)
                 elif child.tag in ("thead", "tbody", "tfoot"):
@@ -319,7 +319,7 @@ class _Renderer:
             self.stats.code_chars += len(raw)
 
     def _render_svg(self, node: Node) -> None:
-        raw = _WS_RE.sub(" ", node.text(" ")).strip()
+        raw = " ".join(node.text(" ").split())
         self.stats.n_diagrams += 1
         self.stats.diagram_chars += max(len(raw), 40)
         self.stats.diagram_sources.append(raw)
@@ -331,7 +331,7 @@ class _Renderer:
         caption = ""
         for child in node.find_all("img"):
             refs.append(self._figure_ref(child))
-            alt = _WS_RE.sub(" ", child.attr("alt")).strip()
+            alt = " ".join(child.attr("alt").split())
             if alt and not caption:
                 caption = alt
         for child in node.children:
@@ -361,14 +361,14 @@ class _Renderer:
     def _flush_pending(self, pending: list[tuple[str, int]]) -> None:
         if not pending:
             return
-        text = _WS_RE.sub(" ", " ".join(p for p, _ in pending)).strip()
+        text = " ".join(" ".join(p for p, _ in pending).split())
         link_chars = sum(lc for _, lc in pending)
         pending.clear()
         self._emit_text_block("paragraph", text, link_chars)
 
     def _walk_children(self, node: Node, depth: int = 0) -> None:
         if depth > _MAX_DEPTH:
-            text = _WS_RE.sub(" ", node.text(" ")).strip()
+            text = " ".join(node.text(" ").split())
             self._emit_text_block("paragraph", text, 0)
             return
         pending: list[tuple[str, int]] = []

@@ -91,11 +91,17 @@ _SIBLING_CLOSERS: dict[str, frozenset[str]] = {
 }
 
 
+# start tags with any implied-close semantics; everything else (a, span,
+# b, i, em, td-free inline soup...) skips _implied_closes entirely
+_IMPLIED_TAGS = _P_CLOSERS | frozenset(_SIBLING_CLOSERS)
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Node("#document")
         self._stack: list[Node] = [self.root]
+        self._open_p = 0  # count of <p> nodes currently on the stack
 
     # -- helpers ---------------------------------------------------------
     def _top(self) -> Node:
@@ -104,36 +110,42 @@ class _TreeBuilder(HTMLParser):
     _HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
     def _implied_closes(self, tag: str) -> None:
+        stack = self._stack
         siblings = _SIBLING_CLOSERS.get(tag)
-        while len(self._stack) > 1 and siblings and self._top().tag in siblings:
-            self._stack.pop()
-        # a block element opening inside an unclosed heading closes it —
-        # browsers nest here, but for text extraction a truncated <h1>
-        # must not swallow the rest of the page
-        if tag in _P_CLOSERS and self._top().tag in self._HEADING_TAGS:
-            self._stack.pop()
+        if siblings:
+            while len(stack) > 1 and stack[-1].tag in siblings:
+                stack.pop()
         if tag in _P_CLOSERS:
+            # a block element opening inside an unclosed heading closes it —
+            # browsers nest here, but for text extraction a truncated <h1>
+            # must not swallow the rest of the page
+            if stack[-1].tag in self._HEADING_TAGS and len(stack) > 1:
+                stack.pop()
             # close an open <p> anywhere above the nearest block boundary
-            if any(n.tag == "p" for n in self._stack[1:]):
-                while len(self._stack) > 1 and self._top().tag != "p":
+            if self._open_p:
+                while len(stack) > 1 and stack[-1].tag != "p":
                     # only unwind through inline formatting, not real blocks
-                    if self._top().tag in _P_CLOSERS or self._top().tag in (
+                    if stack[-1].tag in _P_CLOSERS or stack[-1].tag in (
                         "td", "th", "li", "body", "html",
                     ):
                         return
-                    self._stack.pop()
-                if len(self._stack) > 1 and self._top().tag == "p":
-                    self._stack.pop()
+                    stack.pop()
+                if len(stack) > 1 and stack[-1].tag == "p":
+                    stack.pop()
+                    self._open_p -= 1
 
     # -- shared start-tag entry (both tokenizers) ---------------------------
     def _handle_start_parsed(
         self, tag: str, attrs: dict[str, str], self_closing: bool
     ) -> None:
-        self._implied_closes(tag)
+        if tag in _IMPLIED_TAGS:
+            self._implied_closes(tag)
         node = Node(tag, attrs)
-        self._top().children.append(node)
+        self._stack[-1].children.append(node)
         if not self_closing and tag not in VOID_TAGS:
             self._stack.append(node)
+            if tag == "p":
+                self._open_p += 1
 
     # -- HTMLParser callbacks ---------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
@@ -150,9 +162,14 @@ class _TreeBuilder(HTMLParser):
         if tag in VOID_TAGS:
             return
         # find the nearest matching open element; ignore stray end tags
-        for depth in range(len(self._stack) - 1, 0, -1):
-            if self._stack[depth].tag == tag:
-                del self._stack[depth:]
+        stack = self._stack
+        for depth in range(len(stack) - 1, 0, -1):
+            if stack[depth].tag == tag:
+                if self._open_p:
+                    for node in stack[depth:]:
+                        if node.tag == "p":
+                            self._open_p -= 1
+                del stack[depth:]
                 return
 
     def handle_data(self, data: str) -> None:
@@ -227,35 +244,40 @@ def _parse_attrs(raw: str) -> dict[str, str]:
 
 def _parse_html_fast(html: str) -> Node:
     builder = _TreeBuilder()
-    top_children = builder.root.children  # fast-path text append
+    stack = builder._stack
+    search = _TAG_RE.search
+    unescape = _html_mod.unescape
+    handle_end = builder.handle_endtag
+    handle_start = builder._handle_start_parsed
     pos = 0
     n = len(html)
     while pos < n:
-        lt = html.find("<", pos)
-        if lt == -1:
-            lt = n
-        if lt > pos:
-            text = html[pos:lt]
-            if "&" in text:
-                text = _html_mod.unescape(text)
-            builder._stack[-1].children.append(text)
-        if lt >= n:
-            break
-        m = _TAG_RE.match(html, lt)
+        # one search = find-next-'<' + tokenize in a single C call; stray
+        # '<'s that don't form a tag stay inside the preceding text chunk
+        # (same concatenated text as html.parser's chunking)
+        m = search(html, pos)
         if m is None:
-            # stray '<' — literal text, as html.parser treats it
-            builder._stack[-1].children.append("<")
-            pos = lt + 1
-            continue
+            text = html[pos:]
+            if "&" in text:
+                text = unescape(text)
+            stack[-1].children.append(text)
+            break
+        start = m.start()
+        if start > pos:
+            text = html[pos:start]
+            if "&" in text:
+                text = unescape(text)
+            stack[-1].children.append(text)
         pos = m.end()
-        name = m.group("name")
+        end, name, attrs_raw, selfclose = m.group(
+            "end", "name", "attrs", "selfclose"
+        )
         if name is None:
             continue  # comment/decl/cdata/pi: dropped
         tag = name.lower()
-        if m.group("end"):
-            builder.handle_endtag(tag)
+        if end:
+            handle_end(tag)
             continue
-        attrs_raw = m.group("attrs")
         if attrs_raw and (
             tag in _ATTR_TAGS
             or "class" in attrs_raw
@@ -266,10 +288,10 @@ def _parse_html_fast(html: str) -> Node:
             attrs = _parse_attrs(attrs_raw)
         else:
             attrs = {}
-        if m.group("selfclose") and tag not in VOID_TAGS:
-            builder._handle_start_parsed(tag, attrs, self_closing=True)
+        if selfclose and tag not in VOID_TAGS:
+            handle_start(tag, attrs, self_closing=True)
             continue
-        builder._handle_start_parsed(tag, attrs, self_closing=False)
+        handle_start(tag, attrs, self_closing=False)
         if tag in _RAW_TEXT:
             close = html.find(f"</{tag}", pos)
             if close == -1:
@@ -283,9 +305,8 @@ def _parse_html_fast(html: str) -> Node:
                 gt = html.find(">", close)
                 pos = n if gt == -1 else gt + 1
             if raw:
-                builder._stack[-1].children.append(raw)
-            builder.handle_endtag(tag)
-    del top_children
+                stack[-1].children.append(raw)
+            handle_end(tag)
     return builder.root
 
 
