@@ -65,6 +65,13 @@ def main() -> None:
 
     pages_path = materialize_pages(spark, n_pages)
 
+    # warm-up (excluded from timings): JVM JIT + Python worker pool
+    # spin-up, so the first timed run measures the job, not the runtime
+    run_extraction(
+        spark, spark.read.parquet(pages_path).limit(2000), describe=True,
+        co_locate_hosts=False,
+    ).agg(F.count("*")).collect()
+
     # --- headline: end-to-end extraction ---------------------------------
     # (a) north-rule plan: salted host co-location shuffle before the kernel
     t0 = time.time()

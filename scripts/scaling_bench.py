@@ -77,12 +77,20 @@ def _mp_work(html: bytes) -> int:
     return len(extract_page(html, describe=True).markdown)
 
 
-def measure_pair(n_small: int, path: str, n_pages: int) -> dict:
+def _best_of(n_reps: int, fn, *args) -> dict:
+    """Best rate over n_reps runs — rejects transient hypervisor noise
+    (observed: a co-tenant burst halved one leg's rate; best-of-2 makes
+    the pair self-consistent)."""
+    runs = [fn(*args) for _ in range(n_reps)]
+    return max(runs, key=lambda r: r["rate"])
+
+
+def measure_pair(n_small: int, path: str, n_pages: int, reps: int = 2) -> dict:
     n_big = n_small * 4
     pair: dict = {"N_cores": n_small, "4N_cores": n_big}
     for co_locate, tag in ((True, "salted"), (False, "maponly")):
-        small = spark_run(n_small, path, co_locate)
-        big = spark_run(n_big, path, co_locate)
+        small = _best_of(reps, spark_run, n_small, path, co_locate)
+        big = _best_of(reps, spark_run, n_big, path, co_locate)
         eff = round(big["rate"] / small["rate"] / 4.0, 3)
         pair[tag] = {"N": small, "4N": big, "efficiency": eff}
         print(f"[{tag} {n_small}->{n_big}] {small['rate']}/s -> "
