@@ -49,6 +49,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         help="generate N synthetic pages instead of reading --input",
     )
     p.add_argument(
+        "--incremental", action="store_true",
+        help="Structured Streaming mode: process only parquet files under "
+        "--input not yet seen by this run-id's checkpoint, then exit "
+        "(cron-style incremental crawl ingest)",
+    )
+    p.add_argument(
         "-v", "--verbose", action="store_true",
         default=os.environ.get("EXTRACT_VERBOSE", "0") == "1",
     )
@@ -72,6 +78,19 @@ def main(argv: list[str] | None = None) -> int:
     ).getOrCreate()
     if not args.verbose:
         spark.sparkContext.setLogLevel("WARN")
+
+    if args.incremental:
+        from ocr_pipeline_spark.streaming import run_extraction_stream
+
+        out_dir = os.path.join(args.warehouse, args.table)
+        ckpt = os.path.join(args.warehouse, f"_checkpoints/{args.run_id}")
+        n = run_extraction_stream(
+            spark, args.input, out_dir, ckpt,
+            describe=not args.no_describe_diagrams,
+        )
+        print(json.dumps({"run_id": args.run_id, "mode": "incremental",
+                          "rows_processed": n, "output": out_dir}))
+        return 0
 
     if args.synthetic is not None:
         from ocr_pipeline_spark.fixtures.gen_pages import generate_pages_df
