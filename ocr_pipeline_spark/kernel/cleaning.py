@@ -246,16 +246,29 @@ def squeeze_blanks(text: str) -> str:
 
 # --- the chain ---------------------------------------------------------
 def clean_text(text: str, figures: list[str] | None = None) -> str:
-    """Apply C1–C9 in the reference's exact order (ref stage2_ocr.py:184-251)."""
+    """Apply C1–C9 in the reference's exact order (ref stage2_ocr.py:184-251).
+
+    The substring guards are exact no-op detectors: every C1/C2 sentinel
+    contains "<|" or "<｜", every C3 artifact contains "<table>", every
+    C5 glyph is literal — when absent, the step is the identity and the
+    regex pass is skipped (hot path: DOM-extracted text never contains
+    engine sentinels or grounding tags).
+    """
     if not text:
         return ""
-    text = strip_end_tokens(text)
-    text = resolve_figure_tags(text, figures)
-    text = drop_empty_tables(text)
+    if "<|" in text or "<｜" in text:
+        text = strip_end_tokens(text)
+        text = resolve_figure_tags(text, figures)
+    if "<table>" in text:
+        text = drop_empty_tables(text)
     text = frame_tables(text)
-    text = normalize_bullets(text)
+    if "•" in text or "○" in text:
+        text = normalize_bullets(text)
     text = dedupe_lines(text)
     text = dedupe_paragraphs(text)
     text = drop_integer_runs(text)
-    text = squeeze_blanks(text)
+    if "\n\n\n" in text:
+        text = squeeze_blanks(text)
+    else:
+        text = text.strip()
     return text

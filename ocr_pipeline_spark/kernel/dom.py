@@ -243,12 +243,19 @@ def _parse_attrs(raw: str) -> dict[str, str]:
 
 
 def _parse_html_fast(html: str) -> Node:
-    builder = _TreeBuilder()
-    stack = builder._stack
+    """Regex scanner with the tree-builder's start/end logic inlined.
+
+    Must mirror _TreeBuilder._handle_start_parsed / handle_endtag /
+    _implied_closes exactly — the fast-vs-stdlib equivalence test
+    (tests/test_dom_blocks.py) pins the two paths to identical output.
+    Inlining removes ~2 Python calls per tag (~10% of kernel CPU).
+    """
+    root = Node("#document")
+    stack = [root]
+    open_p = 0  # count of <p> nodes currently on the stack
     search = _TAG_RE.search
     unescape = _html_mod.unescape
-    handle_end = builder.handle_endtag
-    handle_start = builder._handle_start_parsed
+    heading_tags = _TreeBuilder._HEADING_TAGS
     pos = 0
     n = len(html)
     while pos < n:
@@ -276,7 +283,17 @@ def _parse_html_fast(html: str) -> Node:
             continue  # comment/decl/cdata/pi: dropped
         tag = name.lower()
         if end:
-            handle_end(tag)
+            # -- inlined handle_endtag --
+            if tag in VOID_TAGS:
+                continue
+            for depth in range(len(stack) - 1, 0, -1):
+                if stack[depth].tag == tag:
+                    if open_p:
+                        for node in stack[depth:]:
+                            if node.tag == "p":
+                                open_p -= 1
+                    del stack[depth:]
+                    break
             continue
         if attrs_raw and (
             tag in _ATTR_TAGS
@@ -288,10 +305,33 @@ def _parse_html_fast(html: str) -> Node:
             attrs = _parse_attrs(attrs_raw)
         else:
             attrs = {}
-        if selfclose and tag not in VOID_TAGS:
-            handle_start(tag, attrs, self_closing=True)
+        # -- inlined _implied_closes + _handle_start_parsed --
+        if tag in _IMPLIED_TAGS:
+            siblings = _SIBLING_CLOSERS.get(tag)
+            if siblings:
+                while len(stack) > 1 and stack[-1].tag in siblings:
+                    stack.pop()
+            if tag in _P_CLOSERS:
+                if stack[-1].tag in heading_tags and len(stack) > 1:
+                    stack.pop()
+                if open_p:
+                    blocked = False
+                    while len(stack) > 1 and stack[-1].tag != "p":
+                        t = stack[-1].tag
+                        if t in _P_CLOSERS or t in ("td", "th", "li", "body", "html"):
+                            blocked = True
+                            break
+                        stack.pop()
+                    if not blocked and len(stack) > 1 and stack[-1].tag == "p":
+                        stack.pop()
+                        open_p -= 1
+        node = Node(tag, attrs)
+        stack[-1].children.append(node)
+        if selfclose or tag in VOID_TAGS:
             continue
-        handle_start(tag, attrs, self_closing=False)
+        stack.append(node)
+        if tag == "p":
+            open_p += 1
         if tag in _RAW_TEXT:
             close = html.find(f"</{tag}", pos)
             if close == -1:
@@ -306,8 +346,8 @@ def _parse_html_fast(html: str) -> Node:
                 pos = n if gt == -1 else gt + 1
             if raw:
                 stack[-1].children.append(raw)
-            handle_end(tag)
-    return builder.root
+            stack.pop()  # the raw-text element we just pushed (never <p>)
+    return root
 
 
 def parse_html(html: str | bytes, tokenizer: str = "fast") -> Node:
