@@ -99,6 +99,25 @@ def main() -> None:
     timings["extract_pages_maponly"] = round(t_map, 3)
     extras["docs_per_sec_maponly"] = round(n_pages / t_map, 1)
 
+    # (c) full pipeline incl. sink: bucketed write + manifests + metrics
+    import shutil
+    import tempfile
+
+    from ocr_pipeline_spark.plans.job import run_pipeline
+
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    try:
+        t0 = time.time()
+        run_pipeline(
+            spark, spark.read.parquet(pages_path), wh, run_id="bench",
+            describe=True, n_buckets=32, co_locate_hosts=False,
+        )
+        t_pipe = time.time() - t0
+        timings["extract_pipeline_write"] = round(t_pipe, 3)
+        extras["docs_per_sec_e2e_write"] = round(n_pages / t_pipe, 1)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
     if mode == "full":
         import __spark_entry__ as entry_mod
 

@@ -129,9 +129,14 @@ class ParquetCatalog:
     def write_metrics(self, table: str, df: DataFrame) -> None:
         """Per-bucket lineage rows, idempotent under retries: partitioned
         by (run_id, pkey) with dynamic overwrite, so re-processing a
-        bucket replaces its metrics instead of double-counting."""
+        bucket replaces its metrics instead of double-counting.
+
+        The frame is one row per bucket (tiny); coalesce(1) writes all
+        partition dirs from a single task instead of paying per-task
+        commit overhead for 32 one-row files."""
         (
-            df.write.mode("overwrite")
+            df.coalesce(1)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("run_id", PKEY_COL)
             .parquet(self.metrics_path(table))
