@@ -315,6 +315,25 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
 
 
 
+def _q_assemble_documents(spark, sf_dir):
+    """A3/A4: multi-page extraction -> per-document ordered assembly
+    (boundary-fragment carry, headers, separators) via
+    groupBy(doc_key).applyInPandas.  Input: the deterministic synthetic
+    pages corpus (multi-page docs use /page-N urls); sf scales n."""
+    from ocr_pipeline_spark.fixtures.gen_pages import generate_pages_df
+    from ocr_pipeline_spark.operators.assembly_op import assemble_documents
+    from ocr_pipeline_spark.plans.job import run_extraction
+
+    n = max(500, int(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * 200_000))
+    pages = generate_pages_df(spark, min(n, 4000), seed=42)
+    extracted = run_extraction(spark, pages, describe=True)
+    return (
+        assemble_documents(extracted)
+        .select("doc_key", "n_pages", "n_figures", "n_chars")
+        .orderBy("doc_key")
+    )
+
+
 def _q_extract_documents(spark, sf_dir):
     from ocr_pipeline_spark.fixtures.gen_pages import documents_as_pages_df
     from ocr_pipeline_spark.plans.job import run_extraction
@@ -394,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custs_no_big_orders": _q_custs_no_big_orders,
         "embedding_near_dup": _q_embedding_near_dup,
         "extract_documents": _q_extract_documents,
+        "assemble_documents": _q_assemble_documents,
         "lang_simhash": _q_lang_simhash,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "ann_lsh": _q_ann_lsh,
