@@ -350,8 +350,68 @@ def _parse_html_fast(html: str) -> Node:
     return root
 
 
+# --- charset sniffing --------------------------------------------------------
+# WHATWG-style declaration scan: BOM > <meta charset> / http-equiv content
+# charset in the first 2048 bytes > strict UTF-8 > cp1252 (the browsers'
+# latin-1 superset that decodes any byte).  Deterministic, stdlib codecs.
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?\s*([a-zA-Z0-9_.:-]+))""",
+    re.IGNORECASE | re.DOTALL,
+)
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+# common label fixups (WHATWG encoding aliases, minimal set)
+_CHARSET_ALIASES = {
+    "gb2312": "gb18030",
+    "gbk": "gb18030",
+    "iso-8859-1": "cp1252",  # browsers treat latin-1 as windows-1252
+    "latin-1": "cp1252",
+    "us-ascii": "cp1252",
+    "macintosh": "mac-roman",
+}
+
+
+def decode_html(raw: bytes) -> str:
+    """Decode an HTML byte payload per declaration sniffing (see above).
+    Never raises: the cp1252/replace fallback decodes any byte string."""
+    for bom, codec in _BOMS:
+        if raw.startswith(bom):
+            body = raw if codec == "utf-8-sig" else raw[len(bom):]
+            try:
+                return body.decode(codec, errors="replace")
+            except LookupError:  # pragma: no cover - stdlib always has these
+                break
+    m = _META_CHARSET_RE.search(raw[:2048])
+    if m:
+        label = m.group(1).decode("ascii", "ignore").strip().lower()
+        codec = _CHARSET_ALIASES.get(label, label)
+        if codec not in ("utf-8", "utf8"):
+            try:
+                return raw.decode(codec, errors="replace")
+            except LookupError:
+                pass  # unknown label: fall through to UTF-8 path
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        # mixed evidence: valid UTF-8 multibyte sequences are strong
+        # signal (legacy-codepage bytes rarely form them) — if they
+        # outnumber the invalid bytes, the page is corrupt UTF-8, not
+        # legacy-encoded; otherwise decode as cp1252
+        text = raw.decode("utf-8", errors="replace")
+        bad = text.count("�")
+        multibyte_ok = sum(1 for ch in text if ch > "\x7f" and ch != "�")
+        if multibyte_ok >= bad:
+            return text
+        return raw.decode("cp1252", errors="replace")
+
+
 def parse_html(html: str | bytes, tokenizer: str = "fast") -> Node:
-    """Parse an HTML document (bytes are decoded as UTF-8, replacing errors).
+    """Parse an HTML document (bytes are charset-sniffed via decode_html).
 
     `tokenizer='fast'` (default) uses the regex scanner; `'stdlib'` uses
     html.parser.  Both drive the same tree builder and are asserted to
@@ -359,7 +419,7 @@ def parse_html(html: str | bytes, tokenizer: str = "fast") -> Node:
     (tests/test_dom_blocks.py::test_fast_tokenizer_equivalence).
     """
     if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        html = decode_html(bytes(html))
     if tokenizer == "stdlib":
         return _parse_html_stdlib(html)
     try:

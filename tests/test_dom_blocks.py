@@ -232,3 +232,38 @@ def test_fast_tokenizer_edge_cases():
         assert rendered(dom._parse_html_fast(h)) == rendered(
             dom._parse_html_stdlib(h)
         ), h
+
+
+# --- charset sniffing --------------------------------------------------------
+def test_decode_html_charsets():
+    from ocr_pipeline_spark.kernel.dom import decode_html
+
+    # plain UTF-8
+    assert decode_html("café".encode("utf-8")) == "café"
+    # UTF-8 BOM stripped
+    assert decode_html(b"\xef\xbb\xbf<p>x</p>") == "<p>x</p>"
+    # UTF-16 BOMs
+    assert decode_html("<p>héllo</p>".encode("utf-16")) == "<p>héllo</p>"
+    # meta charset declaration honored (cp1252 é = 0xe9)
+    page = b"<html><head><meta charset=windows-1252></head><body>caf\xe9</body>"
+    assert "café" in decode_html(page)
+    # http-equiv style declaration
+    page2 = (b'<meta http-equiv="Content-Type" '
+             b'content="text/html; charset=iso-8859-1">caf\xe9')
+    assert "café" in decode_html(page2)
+    # invalid UTF-8 without declaration -> cp1252 fallback, never raises
+    assert "café" in decode_html(b"<p>caf\xe9</p>")
+    # unknown charset label -> falls back gracefully
+    assert decode_html(b"<meta charset=bogus-enc><p>ok</p>").endswith("<p>ok</p>")
+    # declared utf-8 stays on the strict-utf8 fast path
+    assert decode_html(b"<meta charset=utf-8><p>a</p>").endswith("<p>a</p>")
+
+
+def test_extract_page_non_utf8_end_to_end():
+    from ocr_pipeline_spark.kernel import extract_page
+
+    page = (b"<html><head><meta charset=windows-1252></head>"
+            b"<body><main><h1>R\xe9sum\xe9</h1><p>caf\xe9 cr\xe8me.</p>"
+            b"</main></body></html>")
+    md = extract_page(page).markdown
+    assert "Résumé" in md and "café crème." in md
