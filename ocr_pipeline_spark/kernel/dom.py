@@ -376,9 +376,24 @@ _CHARSET_ALIASES = {
 }
 
 
+_GZIP_MAGIC = b"\x1f\x8b"
+_MAX_DECOMPRESSED = 64 << 20  # zip-bomb guard: cap payload at 64 MB
+
+
 def decode_html(raw: bytes) -> str:
     """Decode an HTML byte payload per declaration sniffing (see above).
-    Never raises: the cp1252/replace fallback decodes any byte string."""
+    Gzip-compressed cells (WARC-derived tables often store them) are
+    transparently decompressed first, capped at 64 MB.  Never raises:
+    the cp1252/replace fallback decodes any byte string."""
+    if raw[:2] == _GZIP_MAGIC:
+        import zlib
+
+        try:
+            raw = zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(
+                raw, _MAX_DECOMPRESSED
+            )
+        except zlib.error:
+            pass  # not actually gzip (or corrupt): treat bytes as-is
     for bom, codec in _BOMS:
         if raw.startswith(bom):
             body = raw if codec == "utf-8-sig" else raw[len(bom):]

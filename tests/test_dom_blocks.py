@@ -267,3 +267,18 @@ def test_extract_page_non_utf8_end_to_end():
             b"</main></body></html>")
     md = extract_page(page).markdown
     assert "Résumé" in md and "café crème." in md
+
+
+def test_decode_html_gzip_payload():
+    import gzip
+
+    from ocr_pipeline_spark.kernel import extract_page
+    from ocr_pipeline_spark.kernel.dom import decode_html
+
+    html = "<body><main><h1>Zipped</h1><p>compressed café page.</p></main></body>"
+    gz = gzip.compress(html.encode("utf-8"))
+    assert decode_html(gz) == html
+    md = extract_page(gz).markdown
+    assert "Zipped" in md and "compressed café page." in md
+    # corrupt gzip header degrades to as-is bytes, never raises
+    assert isinstance(decode_html(b"\x1f\x8b broken"), str)
