@@ -257,6 +257,28 @@ def _q_custs_no_big_orders(spark, sf_dir):
     )
 
 
+def _q_host_stats(spark, sf_dir):
+    """Host-level crawl stats — the downstream consumer that justifies
+    the salted host co-location shuffle (SURVEY.md §4.4).  Here over the
+    documents table's source field treated as the host key."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(
+                1.0
+                - F.countDistinct(F.md5(F.col("text").cast("binary")))
+                / F.count("*"),
+                4,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     from ocr_pipeline_spark.operators.ann import cosine_pairs_bruteforce
 
@@ -412,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custkey_except": _q_custkey_except,
         "custs_no_big_orders": _q_custs_no_big_orders,
         "embedding_near_dup": _q_embedding_near_dup,
+        "host_stats": _q_host_stats,
         "extract_documents": _q_extract_documents,
         "assemble_documents": _q_assemble_documents,
         "lang_simhash": _q_lang_simhash,
@@ -595,6 +618,17 @@ def oracle_sql() -> dict[str, str]:
                       4
                   ) >= 0.4
             ORDER BY id_a, id_b
+        """,
+        "host_stats": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars,
+                   count(DISTINCT lang) AS n_langs,
+                   round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4)
+                       AS dup_ratio
+            FROM documents
+            GROUP BY source
+            ORDER BY source
         """,
         # extract_documents / lang_simhash / minhash_dup_pairs / ann_lsh /
         # ann_ivf / near_dup_verified / doc_fingerprints /

@@ -100,10 +100,13 @@ class ParquetCatalog:
     # -- data ------------------------------------------------------------------
     def overwrite_buckets(self, table: str, df: DataFrame) -> None:
         """Write df (must contain PKEY_COL), replacing only the partition
-        directories present in df — idempotent rewrite for resume."""
+        directories present in df — idempotent rewrite for resume.
+        zstd: ~30% smaller than snappy on markdown text at similar write
+        cost — at 100 TB output scale the storage/IO saving dominates."""
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
+            .option("compression", "zstd")
             .partitionBy(PKEY_COL)
             .parquet(self.data_path(table))
         )

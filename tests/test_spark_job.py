@@ -196,3 +196,33 @@ def test_pipeline_kill_resume(spark, pages, fused_result):
         assert m.agg(F.sum("n_docs")).first()[0] == N_ROWS
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- skew bounding ------------------------------------------------------------
+def test_salted_repartition_bounds_head_host(spark, pages):
+    """The Zipf head host must spread over ~salt partitions and no
+    partition may hold more than a bounded share of its pages
+    (SURVEY.md §4.4 — a mega-host cannot pin one task)."""
+    from ocr_pipeline_spark.plans.job import salted_repartition
+
+    salt = 4
+    parts = 16
+    distributed = salted_repartition(pages.select("url"), parts, salt=salt)
+    with_pid = distributed.select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.spark_partition_id().alias("pid"),
+    )
+    head = (
+        with_pid.groupBy("host").count().orderBy(F.desc("count")).first()
+    )
+    spread = (
+        with_pid.filter(F.col("host") == head.host)
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    n_pids = len(spread)
+    assert n_pids <= salt  # co-location: at most `salt` partitions
+    assert n_pids >= 2  # ...but not one task (skew bound)
+    biggest = max(r["count"] for r in spread)
+    assert biggest <= head["count"] * 0.6  # no partition holds most of it
