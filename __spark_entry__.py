@@ -119,6 +119,51 @@ def _q_events_daily(spark, sf_dir):
     )
 
 
+def _q_events_running_total(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+            F.count("*").over(w).alias("event_seq"),
+        )
+        .orderBy("user_id", "event_seq")
+    )
+
+
+def _q_events_sessionized(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session) via
+    lag + cumulative-sum windows — runs entirely in JVM window exec."""
+    ev = _t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") - F.lag("ts", 1).over(w_user)
+            > F.expr("INTERVAL 30 MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = gapped.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 def _q_docs_by_lang(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -424,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": _q_top_orders,
         "latest_event_per_user": _q_latest_event_per_user,
         "events_daily": _q_events_daily,
+        "events_running_total": _q_events_running_total,
+        "events_sessionized": _q_events_sessionized,
         "docs_by_lang": _q_docs_by_lang,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -496,6 +543,41 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY day, event_type
             ORDER BY day, event_type
+        """,
+        "events_running_total": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER w, 2) AS running_value,
+                   count(*) OVER w AS event_seq
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+            ORDER BY user_id, event_seq
+        """,
+        "events_sessionized": """
+            WITH gapped AS (
+                SELECT user_id, value,
+                       CASE WHEN ts - lag(ts, 1) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session,
+                       ts, event_id
+                FROM events
+            ), sessioned AS (
+                SELECT user_id, value,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_seq
+                FROM gapped
+            )
+            SELECT user_id, session_seq,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM sessioned
+            GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
         "docs_by_lang": """
             SELECT lang, count(*) AS n_docs,
