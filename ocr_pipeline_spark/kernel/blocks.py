@@ -119,10 +119,10 @@ def select_main_root(doc: Node) -> Node:
     > <body>.  Single pre-order traversal; priority ties broken by
     document order (first match of the highest available tier wins)."""
     article = role_main = content_div = body = None
-    stack = list(reversed(doc.children))
+    stack = [c for c in reversed(doc.children) if c.__class__ is Node]
     while stack:
         node = stack.pop()
-        if isinstance(node, str):
+        if node.__class__ is not Node:
             continue
         tag = node.tag
         if tag == "main":

@@ -155,8 +155,14 @@ def dedupe_paragraphs(text: str, max_short_repeats: int = 2) -> str:
     kept: list[str] = []
     short_streak = 0
     last_short: str | None = None
+    # cache of the most recent kept long paragraph (== what the backward
+    # scan for a comparand would find) and its word set — pure speedup,
+    # the tracked value is updated at exactly the points `kept` gains or
+    # replaces a long paragraph
+    comparand = ""
+    prev_words: set[str] = set()
 
-    for i, para in enumerate(paragraphs):
+    for para in paragraphs:
         body = para.strip()
 
         if not body:
@@ -177,24 +183,11 @@ def dedupe_paragraphs(text: str, max_short_repeats: int = 2) -> str:
         short_streak = 0
         last_short = None
 
-        if i == 0 or not kept:
-            kept.append(para)
-            continue
-
-        comparand = ""
-        for earlier in reversed(kept):
-            candidate = earlier.strip()
-            if candidate and len(candidate) >= _SHORT_PARA:
-                comparand = candidate
-                break
-        if not comparand:
-            kept.append(para)
-            continue
-
-        prev_words = set(comparand.lower().split())
         curr_words = set(body.lower().split())
-        if not prev_words or not curr_words:
+
+        if not comparand or not prev_words or not curr_words:
             kept.append(para)
+            comparand, prev_words = body, curr_words
             continue
 
         shared = len(prev_words & curr_words)
@@ -202,8 +195,10 @@ def dedupe_paragraphs(text: str, max_short_repeats: int = 2) -> str:
         if similarity > _OVERLAP_THRESHOLD:
             if len(body) > len(comparand):
                 kept[-1] = para
+                comparand, prev_words = body, curr_words
         else:
             kept.append(para)
+            comparand, prev_words = body, curr_words
 
     return "\n\n".join(kept)
 
