@@ -291,6 +291,19 @@ def _q_custkey_except(spark, sf_dir):
     return all_custs.exceptAll(big.distinct()).orderBy("custkey")
 
 
+def _q_custs_with_recent_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
 def _q_custs_no_big_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -479,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         "custkey_intersect": _q_custkey_intersect,
         "custkey_except": _q_custkey_except,
+        "custs_with_recent_orders": _q_custs_with_recent_orders,
         "custs_no_big_orders": _q_custs_no_big_orders,
         "embedding_near_dup": _q_embedding_near_dup,
         "host_stats": _q_host_stats,
@@ -671,6 +685,16 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
             ORDER BY custkey
+        """,
+        "custs_with_recent_orders": """
+            SELECT c_custkey, c_mktsegment
+            FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            )
+            ORDER BY c_custkey
         """,
         "custs_no_big_orders": """
             SELECT c_custkey, c_name, c_mktsegment

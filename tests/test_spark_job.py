@@ -226,3 +226,37 @@ def test_salted_repartition_bounds_head_host(spark, pages):
     assert n_pids >= 2  # ...but not one task (skew bound)
     biggest = max(r["count"] for r in spread)
     assert biggest <= head["count"] * 0.6  # no partition holds most of it
+
+
+def test_resume_overwrites_partially_written_bucket(spark, pages, fused_result):
+    """A kill mid-write leaves an un-manifested bucket with partial/corrupt
+    files; resume must rewrite it wholesale (dynamic partition overwrite),
+    yielding exactly the full correct output."""
+    import os
+
+    wh = tempfile.mkdtemp(prefix="wh_corrupt_")
+    try:
+        partial = run_pipeline(
+            spark, pages, wh, run_id="rC", n_buckets=8,
+            chunk_size=4, max_chunks=1,
+        )
+        done = set(partial["processed_buckets"])
+        pending = [k for k in range(8) if k not in done]
+        # simulate a mid-write kill: a pending bucket dir exists with a
+        # partial (garbage) file but no manifest entry
+        victim = pending[0]
+        pdir = os.path.join(wh, "extracted", "data", f"pkey={victim}")
+        os.makedirs(pdir, exist_ok=True)
+        with open(os.path.join(pdir, "part-corrupt.parquet"), "wb") as fh:
+            fh.write(b"not a parquet file")
+
+        resumed = run_pipeline(spark, pages, wh, run_id="rC", n_buckets=8)
+        assert victim in resumed["processed_buckets"]
+        cat = ParquetCatalog(spark, wh)
+        final = cat.read("extracted").select("url", "markdown").collect()
+        assert len(final) == N_ROWS
+        assert {r.url: r.markdown for r in final} == fused_result
+        # the garbage file is gone (bucket rewritten wholesale)
+        assert not os.path.exists(os.path.join(pdir, "part-corrupt.parquet"))
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
