@@ -66,6 +66,11 @@ def default_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_BATCH_ROWS)
+        # html shuffle blocks compress ~3x better under zstd than lz4:
+        # measured +50% on the salted co-location plan (21.3k -> 32.0k
+        # docs/s at local[32]); at cluster scale it cuts shuffle I/O of
+        # the one input-sized exchange by the same factor
+        .config("spark.io.compression.codec", "zstd")
         # local mode: the driver JVM is the only memory pool; multi-KB
         # binary html cells also need a smaller columnar reader batch
         .config(
