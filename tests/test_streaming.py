@@ -101,3 +101,70 @@ def test_streaming_crawl_metrics_windows(spark, tmp_path):
     assert got_map  # at least the closed windows were emitted
     for k, v in got_map.items():
         assert batch_map[k] == v
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over a stream must produce
+    exactly the batch-window sessionization's CLOSED sessions (every
+    session but each user's final one, which stays open in state)."""
+    from pyspark.sql import Window
+
+    from ocr_pipeline_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "events_src")
+    sink = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "sessions_ckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    # batch expectation: lag/cumsum sessionization, drop each user's last
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") - F.lag("ts", 1).over(w) > F.expr("INTERVAL 30 MINUTES"),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = gapped.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+        F.max("session_seq").alias("_seq"),
+    )
+    last_seq = sessions.groupBy("user_id").agg(
+        F.max("session_seq").alias("max_seq")
+    )
+    closed = sessions.join(last_seq, "user_id").filter(
+        F.col("session_seq") < F.col("max_seq")
+    )
+    want = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in closed.collect()
+    }
+    assert got == want
+    assert len(got) > 0
