@@ -164,6 +164,38 @@ def _q_events_sessionized(spark, sf_dir):
     )
 
 
+def _q_events_pivot(spark, sf_dir):
+    """Pivot: daily event counts widened by event_type (Spark
+    groupBy().pivot() -> conditional-aggregation SQL oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    types = [
+        r.event_type
+        for r in ev.select("event_type").distinct().orderBy("event_type").collect()
+    ]
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return (
+        ev.groupBy(day)
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("day")
+    )
+
+
+def _q_docs_char_quantiles(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.round(pct[0], 2).alias("p25"),
+            F.round(pct[1], 2).alias("p50"),
+            F.round(pct[2], 2).alias("p75"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_docs_by_lang(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -484,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _q_events_daily,
         "events_running_total": _q_events_running_total,
         "events_sessionized": _q_events_sessionized,
+        "events_pivot": _q_events_pivot,
+        "docs_char_quantiles": _q_docs_char_quantiles,
         "docs_by_lang": _q_docs_by_lang,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -592,6 +626,26 @@ def oracle_sql() -> dict[str, str]:
             FROM sessioned
             GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "events_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) FILTER (event_type = 'click')    AS click,
+                   count(*) FILTER (event_type = 'error')    AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup')   AS signup,
+                   count(*) FILTER (event_type = 'view')     AS view
+            FROM events
+            GROUP BY day
+            ORDER BY day
+        """,
+        "docs_char_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.25), 2) AS p25,
+                   round(quantile_cont(n_chars, 0.50), 2) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 2) AS p75
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
         """,
         "docs_by_lang": """
             SELECT lang, count(*) AS n_docs,
