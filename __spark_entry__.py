@@ -422,7 +422,7 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.first().embedding)
     return cosine_near_dup_lsh(
-        e, "embedding", "vec_id", dim, threshold=0.4, n_planes=4, n_tables=8
+        e, "embedding", "vec_id", dim, threshold=0.4, n_planes=6, n_tables=8
     ).orderBy("id_a", "id_b")
 
 

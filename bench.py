@@ -126,7 +126,9 @@ def main() -> None:
             "latest_event_per_user", "events_daily", "docs_by_lang",
             "dedup_exact", "token_stats", "quality_scores",
             "embedding_knn", "extract_documents", "lang_simhash",
-            "minhash_dup_pairs",
+            "minhash_dup_pairs", "events_sessionized", "events_pivot",
+            "host_stats", "doc_fingerprints", "near_dup_verified",
+            "ann_lsh", "embedding_near_dup_lsh", "assemble_documents",
         ]
         qs = entry_mod.queries()
         for name in bench_queries:
