@@ -144,20 +144,26 @@ def simhash_kernel(text_col: str = "text", out_col: str = "simhash"):
 _SHINGLE_W = 5      # words per shingle
 _N_PERM = 64        # minhash permutations
 _N_BANDS = 16       # LSH bands (4 rows/band)
-_MERSENNE = (1 << 61) - 1
 
-# deterministic permutation parameters (seeded once, module-level)
+# deterministic permutation parameters (seeded once, module-level):
+# odd multipliers are bijections of Z_2^64, so min over (a*h mod 2^64)
+# is a true permutation MinHash — and uint64 wraparound multiply is
+# numpy-native, letting the 64-permutation min run as one matrix op
 import random as _random
 
 _perm_rng = _random.Random(0x5EED)
-_PERMS = [
-    (_perm_rng.randrange(1, _MERSENNE), _perm_rng.randrange(0, _MERSENNE))
-    for _ in range(_N_PERM)
-]
+_PERM_MULTS = [_perm_rng.randrange(1, 1 << 64, 2) for _ in range(_N_PERM)]
+
+import numpy as _np
+
+_PERM_MULTS_NP = _np.array(_PERM_MULTS, dtype=_np.uint64)
 
 
-def minhash_signature(text: str) -> list[int]:
-    """64-permutation MinHash over 5-word shingles."""
+def _shingle_hashes(text: str) -> "_np.ndarray":
+    """Stable 64-bit hashes of the text's 5-word shingles (blake2b —
+    one C call per shingle, PYTHONHASHSEED-independent)."""
+    from hashlib import blake2b
+
     words = (text or "").split()
     if len(words) < _SHINGLE_W:
         shingles = {" ".join(words)} if words else set()
@@ -167,12 +173,25 @@ def minhash_signature(text: str) -> list[int]:
             for i in range(len(words) - _SHINGLE_W + 1)
         }
     if not shingles:
+        return _np.empty(0, dtype=_np.uint64)
+    return _np.array(
+        [
+            int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "big")
+            for s in shingles
+        ],
+        dtype=_np.uint64,
+    )
+
+
+def minhash_signature(text: str) -> list[int]:
+    """64-permutation MinHash over 5-word shingles (vectorized)."""
+    hashes = _shingle_hashes(text)
+    if not len(hashes):
         return [0] * _N_PERM
-    hashes = [_hash64(s) % _MERSENNE for s in shingles]
-    return [
-        min(((a * h + b) % _MERSENNE) for h in hashes) & 0x7FFFFFFFFFFFFFFF
-        for a, b in _PERMS
-    ]
+    # (perm, shingle) wraparound products; min per permutation
+    mins = (hashes[None, :] * _PERM_MULTS_NP[:, None]).min(axis=1)
+    # reinterpret as signed for Spark LongType (injective, value-stable)
+    return [int(x) for x in mins.astype(_np.int64)]
 
 
 def minhash_kernel(text_col: str = "text", out_col: str = "minhash"):
