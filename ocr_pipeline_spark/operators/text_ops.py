@@ -111,19 +111,29 @@ def _hash64(token: str) -> int:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (signed for Spark LongType)."""
+    """64-bit SimHash over whitespace tokens (signed for Spark LongType).
+
+    Vectorized: token hashes unpack into a (tokens, 64) bit matrix whose
+    column-wise vote decides each signature bit — the per-token
+    per-bit Python loop was the dominant cost at corpus scale."""
+    from hashlib import blake2b
+
     tokens = (text or "").split()
     if not tokens:
         return 0
-    weights = [0] * 64
-    for tok in tokens:
-        h = _hash64(tok)
-        for bit in range(64):
-            weights[bit] += 1 if (h >> bit) & 1 else -1
-    sig = 0
-    for bit in range(64):
-        if weights[bit] > 0:
-            sig |= 1 << bit
+    hs = _np.array(
+        [
+            int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "big")
+            for t in tokens
+        ],
+        dtype=_np.uint64,
+    )
+    bits = (hs[:, None] >> _np.arange(64, dtype=_np.uint64)[None, :]) & _np.uint64(1)
+    votes = (2 * bits.astype(_np.int64) - 1).sum(axis=0)
+    sig = int(
+        ((votes > 0).astype(_np.uint64) << _np.arange(64, dtype=_np.uint64)).sum()
+        & _np.uint64(0xFFFFFFFFFFFFFFFF)
+    )
     return struct.unpack("<q", struct.pack("<Q", sig))[0]
 
 
@@ -188,10 +198,10 @@ def minhash_signature(text: str) -> list[int]:
     hashes = _shingle_hashes(text)
     if not len(hashes):
         return [0] * _N_PERM
-    # (perm, shingle) wraparound products; min per permutation
-    mins = (hashes[None, :] * _PERM_MULTS_NP[:, None]).min(axis=1)
-    # reinterpret as signed for Spark LongType (injective, value-stable)
-    return [int(x) for x in mins.astype(_np.int64)]
+    # (perm, shingle) wraparound products; min per permutation; >>1 keeps
+    # values in non-negative LongType range (monotone, order-preserving)
+    mins = (hashes[None, :] * _PERM_MULTS_NP[:, None]).min(axis=1) >> _np.uint64(1)
+    return [int(x) for x in mins]
 
 
 def minhash_kernel(text_col: str = "text", out_col: str = "minhash"):
@@ -256,51 +266,44 @@ _FP_BASE = 257
 _FP_MOD = (1 << 61) - 1
 
 
-def rolling_kgram_hashes(text: str, k: int = _FP_K) -> list[int]:
-    """Karp-Rabin rolling hashes of every char k-gram (O(n), no re-hash)."""
+def rolling_kgram_hashes(text: str, k: int = _FP_K):
+    """Polynomial k-gram hashes (base _FP_BASE, mod 2^64 via uint64
+    wraparound) of every char k-gram, vectorized: k shifted-array
+    multiply-adds instead of a per-char Python rolling loop.  Returns a
+    numpy uint64 array."""
     n = len(text)
     if n == 0:
-        return []
+        return _np.empty(0, dtype=_np.uint64)
+    codes = _np.frombuffer(text.encode("utf-32-le"), dtype=_np.uint32).astype(
+        _np.uint64
+    )
     if n < k:
-        h = 0
-        for ch in text:
-            h = (h * _FP_BASE + ord(ch)) % _FP_MOD
-        return [h]
-    top = pow(_FP_BASE, k - 1, _FP_MOD)
-    h = 0
-    for ch in text[:k]:
-        h = (h * _FP_BASE + ord(ch)) % _FP_MOD
-    out = [h]
-    for i in range(k, n):
-        h = ((h - ord(text[i - k]) * top) * _FP_BASE + ord(text[i])) % _FP_MOD
-        out.append(h)
+        h = _np.uint64(0)
+        base = _np.uint64(_FP_BASE)
+        for c in codes:
+            h = h * base + c
+        return _np.array([h], dtype=_np.uint64)
+    m = n - k + 1
+    out = _np.zeros(m, dtype=_np.uint64)
+    for j in range(k):
+        out = out * _np.uint64(_FP_BASE) + codes[j : j + m]
     return out
 
 
 def winnow_fingerprints(text: str, k: int = _FP_K, w: int = _FP_W) -> list[int]:
     """Winnowed fingerprint set: min hash of each w-window of k-gram
-    hashes (rightmost min on ties), deduped, sorted.  Whitespace is
-    normalized first so formatting doesn't perturb fingerprints."""
-    norm = re.sub(r"\s+", " ", (text or "").strip().lower())
+    hashes, deduped, sorted (the picked VALUE per window is tie-position
+    independent, so the set needs no tie-break bookkeeping).  Whitespace
+    is normalized first so formatting doesn't perturb fingerprints."""
+    norm = " ".join((text or "").lower().split())
     hashes = rolling_kgram_hashes(norm, k)
-    if not hashes:
+    if not len(hashes):
         return []
     if len(hashes) <= w:
-        return sorted({min(hashes)})
-    picked: set[int] = set()
-    # O(n) monotone deque over windows of w
-    from collections import deque
-
-    dq: deque[int] = deque()  # indices, increasing hash values
-    for i, h in enumerate(hashes):
-        while dq and hashes[dq[-1]] >= h:  # >= keeps the rightmost min
-            dq.pop()
-        dq.append(i)
-        if dq[0] <= i - w:
-            dq.popleft()
-        if i >= w - 1:
-            picked.add(hashes[dq[0]])
-    return sorted(picked)
+        return [int(hashes.min() >> _np.uint64(1))]
+    wins = _np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+    # >>1 keeps fingerprints in non-negative LongType range (monotone)
+    return sorted({int(x) for x in (wins >> _np.uint64(1))})
 
 
 def fingerprint_kernel(text_col: str = "text"):

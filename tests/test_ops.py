@@ -215,7 +215,6 @@ def test_config_cascade_and_env(tmp_path):
 def test_rolling_kgram_hashes_match_direct():
     from ocr_pipeline_spark.operators.text_ops import (
         _FP_BASE,
-        _FP_MOD,
         rolling_kgram_hashes,
     )
 
@@ -226,8 +225,8 @@ def test_rolling_kgram_hashes_match_direct():
     for i, h in enumerate(rolled):
         direct = 0
         for ch in s[i : i + k]:
-            direct = (direct * _FP_BASE + ord(ch)) % _FP_MOD
-        assert h == direct
+            direct = (direct * _FP_BASE + ord(ch)) % (1 << 64)
+        assert int(h) == direct
 
 
 def test_winnow_fingerprints_properties():
