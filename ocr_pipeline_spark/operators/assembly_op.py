@@ -24,29 +24,6 @@ DOCUMENT_DDL = (
 _PAGE_SUFFIX = r"/page-\d+/?$"
 
 
-def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("page_num", kind="mergesort")  # stable, deterministic
-    doc_key = pdf["doc_key"].iloc[0]
-    markdowns = list(pdf["markdown"])
-    n_figures = int(pdf["n_figures"].sum())
-    diagrams_used = int((pdf["description"].fillna("") != "").sum())
-    doc_name = doc_key.rstrip("/").rsplit("/", 1)[-1] or doc_key
-    markdown = assemble_document(
-        markdowns, doc_name, n_figures=n_figures, diagrams_used=diagrams_used
-    )
-    return pd.DataFrame(
-        [
-            {
-                "doc_key": doc_key,
-                "markdown": markdown,
-                "n_pages": len(markdowns),
-                "n_figures": n_figures,
-                "n_chars": len(markdown),
-            }
-        ]
-    )
-
-
 def _batch_assemble(batches):
     """mapInPandas kernel over (doc_key, pages:list<struct>) rows: one
     Python call per Arrow batch (thousands of docs) instead of one
