@@ -164,6 +164,34 @@ def _q_events_sessionized(spark, sf_dir):
     )
 
 
+def _q_purchase_last_click(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase event matched to
+    the same user's most recent click at-or-before it."""
+    from ocr_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload_cols=["event_id"],
+        tie_col="event_id",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("asof_event_id").alias("last_click_id"),
+    ).orderBy("purchase_id")
+
+
 def _q_events_pivot(spark, sf_dir):
     """Pivot: daily event counts widened by event_type (Spark
     groupBy().pivot() -> conditional-aggregation SQL oracle)."""
@@ -517,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_total": _q_events_running_total,
         "events_sessionized": _q_events_sessionized,
         "events_pivot": _q_events_pivot,
+        "purchase_last_click": _q_purchase_last_click,
         "docs_char_quantiles": _q_docs_char_quantiles,
         "docs_by_lang": _q_docs_by_lang,
         "dedup_exact": _q_dedup_exact,
@@ -626,6 +655,19 @@ def oracle_sql() -> dict[str, str]:
             FROM sessioned
             GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "purchase_last_click": """
+            SELECT p.event_id AS purchase_id,
+                   p.user_id,
+                   (SELECT c.event_id FROM events c
+                    WHERE c.user_id = p.user_id
+                      AND c.event_type = 'click'
+                      AND c.ts <= p.ts
+                    ORDER BY c.ts DESC, c.event_id DESC
+                    LIMIT 1) AS last_click_id
+            FROM events p
+            WHERE p.event_type = 'purchase'
+            ORDER BY purchase_id
         """,
         "events_pivot": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,

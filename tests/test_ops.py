@@ -316,3 +316,28 @@ def test_cosine_near_dup_lsh_finds_planted_pair(spark):
                                   n_planes=6, n_tables=8).collect()}
     assert (5, 100) in approx
     assert approx <= exact  # verify step means no false positives
+
+
+# --- as-of join ---------------------------------------------------------------
+def test_asof_join_semantics(spark):
+    from ocr_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 25), (3, 200, 5), (4, 100, 10)],
+        "lid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(101, 100, 10), (102, 100, 10), (103, 100, 20), (104, 300, 1)],
+        "rid long, k long, t long",
+    )
+    out = {
+        r.lid: r.asof_rid
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="t",
+            payload_cols=["rid"], tie_col="rid",
+        ).collect()
+    }
+    assert out[1] == 102  # inclusive <=; tie at t=10 -> max rid
+    assert out[4] == 102  # same left time, same match
+    assert out[2] == 103  # latest preceding
+    assert out[3] is None  # no right rows for key 200
