@@ -192,6 +192,39 @@ def _q_purchase_last_click(spark, sf_dir):
     ).orderBy("purchase_id")
 
 
+def _q_signup_clicks_1h(spark, sf_dir):
+    """Range join (operators/range_join.py): clicks of the same user
+    within one hour after each signup, counted per signup."""
+    from ocr_pipeline_spark.operators.range_join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    matched = interval_join(
+        signups, clicks, key="user_id",
+        left_start="win_start", left_end="win_end", right_time="ts",
+    )
+    counts = matched.groupBy("signup_id").agg(
+        F.count("*").alias("n_clicks")
+    )
+    return (
+        signups.join(counts, "signup_id", "left")
+        .select(
+            "signup_id",
+            "user_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        )
+        .orderBy("signup_id")
+    )
+
+
 def _q_events_pivot(spark, sf_dir):
     """Pivot: daily event counts widened by event_type (Spark
     groupBy().pivot() -> conditional-aggregation SQL oracle)."""
@@ -546,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": _q_events_sessionized,
         "events_pivot": _q_events_pivot,
         "purchase_last_click": _q_purchase_last_click,
+        "signup_clicks_1h": _q_signup_clicks_1h,
         "docs_char_quantiles": _q_docs_char_quantiles,
         "docs_by_lang": _q_docs_by_lang,
         "dedup_exact": _q_dedup_exact,
@@ -655,6 +689,18 @@ def oracle_sql() -> dict[str, str]:
             FROM sessioned
             GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "signup_clicks_1h": """
+            SELECT s.event_id AS signup_id,
+                   s.user_id,
+                   (SELECT count(*) FROM events c
+                    WHERE c.user_id = s.user_id
+                      AND c.event_type = 'click'
+                      AND c.ts >= s.ts
+                      AND c.ts <= s.ts + INTERVAL 1 HOUR) AS n_clicks
+            FROM events s
+            WHERE s.event_type = 'signup'
+            ORDER BY signup_id
         """,
         "purchase_last_click": """
             SELECT p.event_id AS purchase_id,
