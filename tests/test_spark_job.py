@@ -260,3 +260,33 @@ def test_resume_overwrites_partially_written_bucket(spark, pages, fused_result):
         assert not os.path.exists(os.path.join(pdir, "part-corrupt.parquet"))
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_non_utf8_and_gzip_pages_through_spark(spark):
+    """Charset-sniffed and gzip-compressed payloads must survive the
+    Arrow binary transport and extract identically to the local kernel."""
+    import gzip as _gzip
+    from datetime import datetime
+
+    cp1252 = (b"<html><head><meta charset=windows-1252></head>"
+              b"<body><main><h1>R\xe9sum\xe9</h1><p>caf\xe9 cr\xe8me page.</p>"
+              b"</main></body></html>")
+    utf16 = "<body><main><h1>U16</h1><p>héllo wörld prose.</p></main></body>".encode("utf-16")
+    gzipped = _gzip.compress(
+        b"<body><main><h1>GZ</h1><p>compressed page body.</p></main></body>"
+    )
+    rows = [
+        ("https://h.org/cp1252", datetime(2024, 1, 1), cp1252, "", "en"),
+        ("https://h.org/utf16", datetime(2024, 1, 1), utf16, "", "en"),
+        ("https://h.org/gz", datetime(2024, 1, 1), gzipped, "", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    got = {r.url: r.markdown for r in run_extraction(spark, df, describe=True).collect()}
+    for url, _, payload, _, _ in rows:
+        local = extract_page(payload, page_num_from_url(url), describe=True).markdown
+        assert got[url] == local
+    assert "café crème page." in got["https://h.org/cp1252"]
+    assert "héllo wörld prose." in got["https://h.org/utf16"]
+    assert "compressed page body." in got["https://h.org/gz"]
