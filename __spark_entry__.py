@@ -677,10 +677,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ), sessioned AS (
                 SELECT user_id, value,
-                       sum(new_session) OVER (
+                       CAST(sum(new_session) OVER (
                            PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                       ) AS session_seq
+                       ) AS BIGINT) AS session_seq
                 FROM gapped
             )
             SELECT user_id, session_seq,
@@ -738,7 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_by_lang": """
             SELECT lang, count(*) AS n_docs,
                    round(avg(n_chars), 2) AS avg_chars,
-                   sum(n_chars) AS total_chars
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents
             GROUP BY lang
             ORDER BY lang
@@ -762,7 +762,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    round(avg(n_tokens), 2) AS avg_tokens,
                    max(n_tokens) AS max_tokens,
-                   sum(n_tokens) AS total_tokens
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM tok
             GROUP BY lang
             ORDER BY lang
@@ -870,7 +870,7 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": """
             SELECT source,
                    count(*) AS n_docs,
-                   sum(n_chars) AS total_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    count(DISTINCT lang) AS n_langs,
                    round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4)
                        AS dup_ratio
