@@ -21,6 +21,7 @@ from __future__ import annotations
 import random
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,14 +37,16 @@ def _planes(dim: int, n_planes: int, table: int) -> list[list[float]]:
 
 
 def signature_of(vec: list[float], planes: list[list[float]]) -> int:
-    sig = 0
-    for i, plane in enumerate(planes):
-        s = 0.0
-        for a, b in zip(vec, plane):
-            s += float(a) * b
-        if s >= 0.0:
-            sig |= 1 << i
-    return sig
+    """Query-side / scalar-reference hyperplane signature.
+
+    Uses the same numpy dot as the batch kernel in add_lsh_signatures so
+    the two are bit-identical (a sequential-Python sum could round
+    differently near a zero dot product)."""
+    P = np.asarray(planes, dtype=np.float64)
+    bits = (P @ np.asarray(vec, dtype=np.float64)) >= 0.0
+    return int(
+        (bits.astype(np.uint64) << np.arange(len(planes), dtype=np.uint64)).sum()
+    )
 
 
 def _cosine_col(vec_col: str, query: list[float]):
@@ -75,20 +78,35 @@ def cosine_topk_bruteforce(
 def add_lsh_signatures(
     df: DataFrame, vec_col: str, dim: int, n_planes: int = 12, n_tables: int = 4
 ) -> DataFrame:
-    """Arrow kernel: one `sig_t` column per hash table (the ANN index)."""
-    plane_sets = [_planes(dim, n_planes, t) for t in range(n_tables)]
-    cols = list(df.columns)
+    """Arrow kernel: one `sig_t` column per hash table (the ANN index).
+
+    All tables' planes stack into one (n_tables*n_planes, dim) matrix so
+    each Arrow batch pays exactly one matmul — no per-row Python (same
+    shape as assign_ivf_cells / the cosine verify kernel)."""
+    P_all = np.array(
+        [p for t in range(n_tables) for p in _planes(dim, n_planes, t)],
+        dtype=np.float64,
+    )
+    shifts = np.arange(n_planes, dtype=np.uint64)
     out_ddl = ", ".join(
-        [f"{c} {t}" for c, t in zip(cols, _ddl_types(df))]
+        [f"{c} {t}" for c, t in zip(df.columns, _ddl_types(df))]
         + [f"sig_{t} bigint" for t in range(n_tables)]
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            vecs = list(pdf[vec_col])
-            for t, planes in enumerate(plane_sets):
-                pdf[f"sig_{t}"] = [signature_of(list(v), planes) for v in vecs]
+            if len(pdf):
+                V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                bits = (V @ P_all.T) >= 0.0
+                for t in range(n_tables):
+                    blk = bits[:, t * n_planes : (t + 1) * n_planes]
+                    pdf[f"sig_{t}"] = (
+                        (blk.astype(np.uint64) << shifts).sum(axis=1).astype(np.int64)
+                    )
+            else:
+                for t in range(n_tables):
+                    pdf[f"sig_{t}"] = pd.Series([], dtype="int64")
             yield pdf
 
     return df.mapInPandas(kernel, schema=out_ddl)
@@ -142,60 +160,62 @@ def cosine_near_dup_lsh(
     threshold: float,
     n_planes: int = 6,
     n_tables: int = 8,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: hyperplane-LSH signatures
-    (Arrow kernel) → per-table bucket grouping → intra-bucket candidate
-    pairs (shuffle on signatures, never a cross join) → exact cosine
-    verify of candidates only."""
+    (Arrow kernel) → per-table bucket grouping → ONE cosine GEMM per
+    bucket (applyInPandas) emitting only pairs >= threshold.
+
+    Verifying inside the bucket kernel beats the
+    explode-pairs → distinct → hydrate-vectors-by-join → verify chain
+    it replaced: a bucket of m rows costs one m×m matmul instead of
+    materializing m^2/2 candidate rows through a distinct shuffle and
+    two joins.  The whole plan is a single shuffle on (table, sig)
+    carrying n·n_tables vectors.
+
+    Hot buckets (> max_bucket rows) are skipped inside the kernel —
+    with short signatures a near-universal signature is the boilerplate
+    analog of a hot LSH band; the cap bounds per-task work at
+    max_bucket^2·dim flops.  The cap can sit far above the pair-explode
+    generators' (text_ops._MAX_BUCKET) because a GEMM row is ~1000×
+    cheaper than an exploded candidate row.  Pair recall vs the exact
+    quadratic baseline is pinned in tests (test_ops, test_entry
+    recall checks)."""
+    id_ddl = df.schema[id_col].dataType.simpleString()
     signed = add_lsh_signatures(df, vec_col, dim, n_planes, n_tables)
     banded = signed.select(
         F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
         F.posexplode(
             F.array(*[F.col(f"sig_{t}") for t in range(n_tables)])
         ).alias("tbl", "sig"),
     )
-    grouped = (
-        banded.groupBy("tbl", "sig").agg(F.collect_list("_id").alias("ids"))
-        .filter(F.size("ids") > 1)
+
+    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        m = len(pdf)
+        if m < 2 or m > max_bucket:
+            return empty
+        V = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = np.round(V @ V.T, 4)
+        ia, ib = np.triu_indices(m, k=1)
+        mask = sims[ia, ib] >= threshold
+        if not mask.any():
+            return empty
+        ids = pdf["_id"].to_numpy()
+        a, b = ids[ia[mask]], ids[ib[mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": sims[ia, ib][mask]}
+        )
+
+    pairs = banded.groupBy("tbl", "sig").applyInPandas(
+        verify_bucket, schema=f"id_a {id_ddl}, id_b {id_ddl}, cos_sim double"
     )
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"
-            )
-        ).alias("p")
-    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    hydrated = pairs.join(a, "id_a").join(b, "id_b")
-
-    # exact-cosine verify as a vectorized numpy kernel: candidate sets can
-    # be large when signatures are short, and per-pair HOF folds are ~100x
-    # slower than one Arrow-batched matrix op
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.array([list(v) for v in pdf["_va"]], dtype=np.float64)
-            B = np.array([list(v) for v in pdf["_vb"]], dtype=np.float64)
-            cos = (A * B).sum(axis=1) / (
-                np.maximum(np.linalg.norm(A, axis=1), 1e-12)
-                * np.maximum(np.linalg.norm(B, axis=1), 1e-12)
-            )
-            out = pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy(),
-                    "id_b": pdf["id_b"].to_numpy(),
-                    "cos_sim": np.round(cos, 4),
-                }
-            )
-            yield out[out["cos_sim"] >= threshold]
-
-    return hydrated.mapInPandas(
-        verify, schema="id_a bigint, id_b bigint, cos_sim double"
-    )
+    # same vectors -> bit-identical cos across tables, so a plain
+    # distinct dedupes multi-table hits
+    return pairs.distinct()
 
 
 # =========================================================================

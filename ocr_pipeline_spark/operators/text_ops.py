@@ -101,15 +101,12 @@ def lang_id_kernel(text_col: str = "text", out_col: str = "lang_pred"):
 
 # =========================================================================
 # SimHash (64-bit) — near-dup fingerprint (Arrow kernel)
+#
+# Hash family: blake2b-64 per token (one C call, PYTHONHASHSEED-free).
+# NOTE: this family replaced the round-1 FNV-1a/Mersenne-affine one —
+# simhash/minhash columns persisted by pre-vectorization runs are NOT
+# comparable with new signatures; recompute sketches, don't mix.
 # =========================================================================
-def _hash64(token: str) -> int:
-    """Stable 64-bit hash (FNV-1a) — no PYTHONHASHSEED dependence."""
-    h = 0xCBF29CE484222325
-    for b in token.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (signed for Spark LongType).
 
@@ -214,13 +211,68 @@ def minhash_kernel(text_col: str = "text", out_col: str = "minhash"):
     return kernel
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash") -> DataFrame:
+# Hot-bucket cap: a band/fingerprint/signature shared by more than this
+# many documents is boilerplate by definition (ubiquitous shingle, site
+# chrome) and carries no near-dup signal — but would pay an O(n^2)
+# intra-bucket pair explosion inside a single task at corpus scale.
+_MAX_BUCKET = 64
+
+
+def intra_bucket_pairs(
+    grouped: DataFrame,
+    max_bucket: int = _MAX_BUCKET,
+    observation=None,
+) -> DataFrame:
+    """(id_a < id_b) pair expansion over bucket rows, hot buckets capped.
+
+    `grouped` needs an array column `ids` (one row per bucket).  Buckets
+    with more than `max_bucket` members are dropped BEFORE the quadratic
+    expansion: one ubiquitous shingle/fingerprint at 10^12-doc scale is
+    a single bucket with millions of ids — a pair explosion (and a
+    collect_list OOM feeder) no shuffle strategy survives.  The recall
+    trade is deliberate and tiny: a feature shared by >max_bucket docs
+    is boilerplate, not near-dup evidence.  Pair count per bucket is
+    hard-bounded at max_bucket*(max_bucket-1)/2.
+
+    Pass a pyspark.sql.Observation as `observation` to get
+    (total_buckets, dropped_buckets) metrics reported with the first
+    action that consumes the result — the drop count is the operator's
+    audit trail.  Caveat: if the downstream result is completely empty,
+    AQE's empty-relation propagation can elide the CollectMetrics node
+    and Observation.get will fail — read the metrics only on non-empty
+    results (at corpus scale the pair set is never empty).
+    """
+    sized = grouped.withColumn("_n", F.size("ids"))
+    if observation is not None:
+        sized = sized.observe(
+            observation,
+            F.count(F.lit(1)).alias("total_buckets"),
+            F.count(F.when(F.col("_n") > max_bucket, 1)).alias("dropped_buckets"),
+        )
+    kept = sized.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+    return kept.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    max_bucket: int = _MAX_BUCKET,
+    observation=None,
+) -> DataFrame:
     """MinHash-LSH candidate pairs via band-bucket self-grouping.
 
     Scale path: explode signatures into (band, band_hash) buckets,
     group by bucket, emit intra-bucket pairs — the shuffle is on band
-    hashes, never a cross join.  Output: (id_a, id_b) with id_a < id_b,
-    distinct.
+    hashes, never a cross join; hot buckets (> max_bucket ids) are
+    dropped before pair expansion (see intra_bucket_pairs).  Output:
+    (id_a, id_b) with id_a < id_b, distinct.
     """
     rows_per_band = _N_PERM // _N_BANDS
     banded = df.select(
@@ -244,15 +296,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, sig_col: str = "minhash") ->
     )
     grouped = banded.groupBy("band", "band_hash").agg(
         F.collect_list(id_col).alias("ids")
-    ).filter(F.size("ids") > 1)
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"
-            )
-        ).alias("p")
-    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-    return pairs.distinct()
+    )
+    return intra_bucket_pairs(grouped, max_bucket, observation).distinct()
 
 
 # =========================================================================
@@ -323,28 +368,26 @@ def fingerprint_kernel(text_col: str = "text"):
 
 
 def fingerprint_overlap_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", min_shared: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_shared: int = 3,
+    max_bucket: int = _MAX_BUCKET,
+    observation=None,
 ) -> DataFrame:
     """Docs sharing >= min_shared winnowed fingerprints — the scale path
     is explode→group-by-fingerprint→intra-bucket pairs→count, i.e. the
-    same banded-shuffle shape as MinHash-LSH (never a cross join)."""
+    same banded-shuffle shape as MinHash-LSH (never a cross join).
+    Fingerprints shared by > max_bucket docs are boilerplate and dropped
+    before pair expansion (see intra_bucket_pairs)."""
     base = df.select(F.col(id_col).cast("long").alias("_id"), text_col)
     fps = base.mapInPandas(
         fingerprint_kernel(text_col),
         schema="_id long, fingerprints array<bigint>, n_fps long, fp_min bigint",
     )
     exploded = fps.select("_id", F.explode("fingerprints").alias("fp"))
-    grouped = (
-        exploded.groupBy("fp").agg(F.collect_list("_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"
-            )
-        ).alias("p")
-    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    grouped = exploded.groupBy("fp").agg(F.collect_list("_id").alias("ids"))
+    pairs = intra_bucket_pairs(grouped, max_bucket, observation)
     return (
         pairs.groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))

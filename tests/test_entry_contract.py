@@ -93,6 +93,45 @@ def test_rows_only_queries_run(spark):
         assert df.count() >= 0, name
 
 
+# --- recall/agreement checks for the unoracled ANN queries -------------------
+# These turn rows-only queries into independently verified ones: the
+# approximate paths must agree with their exact, DuckDB-oracled twins.
+
+def test_ann_lsh_recall_vs_exact_knn(spark):
+    qs = entry_mod.queries()
+    exact = [r.vec_id for r in qs["embedding_knn"](spark, SF_DIR).collect()]
+    approx = [r.vec_id for r in qs["ann_lsh"](spark, SF_DIR).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"ann_lsh recall@10={recall}"
+
+
+def test_ann_ivf_recall_vs_exact_knn(spark):
+    qs = entry_mod.queries()
+    exact = [r.vec_id for r in qs["embedding_knn"](spark, SF_DIR).collect()]
+    approx = [r.vec_id for r in qs["ann_ivf"](spark, SF_DIR).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"ann_ivf recall@10={recall}"
+
+
+def test_near_dup_lsh_pair_recall_vs_exact(spark):
+    qs = entry_mod.queries()
+    exact = {(r.id_a, r.id_b) for r in
+             qs["embedding_near_dup"](spark, SF_DIR).collect()}
+    approx = {(r.id_a, r.id_b) for r in
+              qs["embedding_near_dup_lsh"](spark, SF_DIR).collect()}
+    assert exact, "exact near-dup set unexpectedly empty"
+    recall = len(exact & approx) / len(exact)
+    # threshold 0.4 on near-orthogonal fixtures is the hardest LSH
+    # regime (see ann.py docstring); the bar pins that the scale path
+    # still finds most truly-similar pairs (measured ~0.85)
+    assert recall >= 0.7, f"pair recall={recall} ({len(approx)} approx pairs)"
+    # precision stays high: the in-bucket GEMM verifies exactly, so
+    # approx pairs differ from exact only by 4-dp rounding at the
+    # threshold boundary
+    rounding_false_pos = approx - exact
+    assert len(rounding_false_pos) <= max(3, len(exact) // 10), rounding_false_pos
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     n = df.count()

@@ -265,6 +265,96 @@ def test_fingerprint_overlap_pairs_detects_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_intra_bucket_pairs_cap_and_observation(spark):
+    from pyspark.sql import Observation
+
+    from ocr_pipeline_spark.operators.text_ops import intra_bucket_pairs
+
+    rows = [
+        ([1],),                      # singleton: no pairs
+        ([10, 11, 12],),             # 3 ids -> 3 pairs
+        ([list(range(100, 170))][0],),  # 70 ids > cap 64 -> dropped
+    ]
+    grouped = spark.createDataFrame(rows, "ids array<bigint>")
+    obs = Observation("buckets")
+    pairs = intra_bucket_pairs(grouped, max_bucket=64, observation=obs).collect()
+    assert len(pairs) == 3
+    assert {(r.id_a, r.id_b) for r in pairs} == {(10, 11), (10, 12), (11, 12)}
+    assert obs.get == {"total_buckets": 3, "dropped_buckets": 1}
+
+
+def test_hot_bucket_cap_bounds_fingerprint_pairs(spark):
+    """Ubiquitous-boilerplate corpus: every doc shares one big block.
+    Without the cap this emits ~n^2/2 pairs from a single fingerprint
+    bucket; with it the pair count stays sub-quadratic."""
+    from pyspark.sql import Observation
+
+    from ocr_pipeline_spark.operators.text_ops import fingerprint_overlap_pairs
+
+    n = 120
+    boiler = (
+        "subscribe to our newsletter accept all cookies all rights reserved "
+        "terms of service privacy policy contact us about careers " * 6
+    )
+    cluster = "a genuinely shared article body that ten documents reuse verbatim " * 6
+    rows = [
+        (
+            i,
+            boiler
+            + (f" {cluster} " if i < 10 else "")
+            + f" unique filler {i} "
+            + " ".join(f"tok{i}_{j}" for j in range(40)),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("fp_buckets")
+    pairs = fingerprint_overlap_pairs(
+        df, "doc_id", "text", min_shared=1, observation=obs
+    ).collect()
+    got = obs.get
+    assert got["dropped_buckets"] > 0  # the 120-doc boilerplate fingerprints
+    # the genuine 10-doc cluster survives the cap...
+    assert {(r.id_a, r.id_b) for r in pairs} >= {(0, 1), (0, 9), (8, 9)}
+    # ...but nothing near the n*(n-1)/2 = 7140 boilerplate blowup is emitted
+    assert len(pairs) < n * (n - 1) / 8, len(pairs)
+
+
+def test_lsh_signature_batch_matches_scalar(emb):
+    from ocr_pipeline_spark.operators.ann import _planes, signature_of
+
+    sample = emb.limit(25).collect()
+    dim, n_planes, n_tables = 64, 12, 4
+    plane_sets = [_planes(dim, n_planes, t) for t in range(n_tables)]
+    batch = {
+        r.vec_id: tuple(r[f"sig_{t}"] for t in range(n_tables))
+        for r in add_lsh_signatures(
+            emb.limit(25), "embedding", dim, n_planes, n_tables
+        ).collect()
+    }
+    for r in sample:
+        expect = tuple(
+            signature_of([float(x) for x in r.embedding], ps) for ps in plane_sets
+        )
+        assert batch[r.vec_id] == expect
+
+
+def test_cosine_near_dup_lsh_string_ids(spark):
+    import random
+
+    from ocr_pipeline_spark.operators.ann import cosine_near_dup_lsh
+
+    rng = random.Random(23)
+    dim = 8
+    rows = [(f"doc-{i}", [float(rng.gauss(0, 1)) for _ in range(dim)]) for i in range(30)]
+    rows.append(("doc-zz", [float(x + rng.gauss(0, 0.005)) for x in rows[3][1]]))
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in
+             cosine_near_dup_lsh(df, "embedding", "doc_id", dim, 0.95,
+                                 n_planes=4, n_tables=8).collect()}
+    assert ("doc-3", "doc-zz") in pairs
+
+
 # --- IVF ANN -----------------------------------------------------------------
 def test_ivf_ann_recall_vs_bruteforce(spark):
     import random
