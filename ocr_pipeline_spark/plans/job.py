@@ -38,7 +38,7 @@ from ocr_pipeline_spark.operators.extract_op import (
 from ocr_pipeline_spark.sources.catalog import (
     DEFAULT_BUCKETS,
     PKEY_COL,
-    ParquetCatalog,
+    open_catalog,
     with_bucket,
 )
 
@@ -196,7 +196,7 @@ def run_pipeline(
     duplicates and no missing urls.  `max_chunks` exists for the
     kill/resume tests.
     """
-    catalog = ParquetCatalog(spark, warehouse)
+    catalog = open_catalog(spark, warehouse)
     t_start = time.time()
 
     done = catalog.completed_buckets(table, run_id)

@@ -149,18 +149,159 @@ class ParquetCatalog:
         return self.spark.read.parquet(self.metrics_path(table))
 
 
+class IcebergCatalog:
+    """The manifest/resume protocol of ParquetCatalog over a real
+    Iceberg catalog — atomic snapshot commits, metadata-only counts.
+
+    Tables (all `USING iceberg` in `<catalog>.<namespace>`):
+        <table>              PARTITIONED BY (pkey)      -- data
+        <table>__manifest    unpartitioned              -- resume state
+        <table>__metrics     PARTITIONED BY (run_id, pkey)
+
+    Every operation goes through SQL / DataFrameWriterV2, so any
+    catalog implementing DSv2 + the Iceberg SQL extensions works:
+      * `overwrite_buckets` -> `writeTo().overwritePartitions()` — the
+        dynamic-overwrite semantic as ONE atomic snapshot (the parquet
+        fallback gets directory granularity instead);
+      * `commit_bucket` -> one MERGE transaction (idempotent upsert);
+      * `bucket_row_counts` -> sum(record_count) over the `.partitions`
+        metadata table — the Iceberg analog of footer-only counts, no
+        data files are read.
+
+    Code-complete but exercised on clusters with the Iceberg runtime
+    jar; the sandbox suite covers catalog selection and the generated
+    SQL (tests/test_catalog_iceberg.py), and the parquet fallback stays
+    the tested default.
+    """
+
+    MANIFEST_DDL = (
+        "run_id string, pkey int, status string, n_docs bigint, "
+        "committed_at string"
+    )
+
+    def __init__(self, spark: SparkSession, catalog_name: str,
+                 namespace: str = "graft"):
+        self.spark = spark
+        self.catalog = catalog_name
+        self.namespace = namespace
+
+    # -- identifiers / DDL ---------------------------------------------------
+    def _ident(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    @staticmethod
+    def _schema_ddl(schema) -> str:
+        return ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+
+    def _create_table_sql(
+        self, ident: str, cols_ddl: str, partition_cols: tuple[str, ...] = ()
+    ) -> str:
+        part = (
+            f" PARTITIONED BY ({', '.join(partition_cols)})"
+            if partition_cols
+            else ""
+        )
+        return f"CREATE TABLE IF NOT EXISTS {ident} ({cols_ddl}) USING iceberg{part}"
+
+    def _merge_manifest_sql(self, ident: str) -> str:
+        return (
+            f"MERGE INTO {ident} m USING (SELECT :run_id AS run_id, "
+            f"CAST(:pkey AS int) AS pkey, :status AS status, "
+            f"CAST(:n_docs AS bigint) AS n_docs, :ts AS committed_at) s "
+            f"ON m.run_id = s.run_id AND m.pkey = s.pkey "
+            f"WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def _ensure(self, ident: str, cols_ddl: str,
+                partition_cols: tuple[str, ...] = ()) -> None:
+        self.spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+        )
+        self.spark.sql(self._create_table_sql(ident, cols_ddl, partition_cols))
+
+    # -- manifest protocol ---------------------------------------------------
+    def completed_buckets(self, table: str, run_id: str) -> set[int]:
+        ident = self._ident(f"{table}__manifest")
+        if not self.spark.catalog.tableExists(ident):
+            return set()
+        rows = self.spark.sql(
+            f"SELECT pkey FROM {ident} WHERE run_id = :run_id "
+            f"AND status = :status",
+            args={"run_id": run_id, "status": MANIFEST_STATUS_DONE},
+        ).collect()
+        return {int(r.pkey) for r in rows}
+
+    def commit_bucket(
+        self, table: str, run_id: str, pkey: int, n_docs: int
+    ) -> None:
+        """Idempotent upsert — one Iceberg MERGE transaction."""
+        ident = self._ident(f"{table}__manifest")
+        self._ensure(ident, self.MANIFEST_DDL)
+        self.spark.sql(
+            self._merge_manifest_sql(ident),
+            args={
+                "run_id": run_id,
+                "pkey": int(pkey),
+                "status": MANIFEST_STATUS_DONE,
+                "n_docs": int(n_docs),
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            },
+        )
+
+    # -- data ----------------------------------------------------------------
+    def overwrite_buckets(self, table: str, df: DataFrame) -> None:
+        ident = self._ident(table)
+        self._ensure(ident, self._schema_ddl(df.schema), (PKEY_COL,))
+        df.writeTo(ident).overwritePartitions()
+
+    def bucket_row_counts(self, table: str, pkeys: list[int]) -> dict[int, int]:
+        """Metadata-only counts from the `.partitions` metadata table."""
+        ident = self._ident(table)
+        rows = self.spark.sql(
+            f"SELECT partition.{PKEY_COL} AS pkey, "
+            f"sum(record_count) AS n FROM {ident}.partitions "
+            f"GROUP BY partition.{PKEY_COL}"
+        ).collect()
+        by = {int(r.pkey): int(r.n) for r in rows}
+        return {int(k): by.get(int(k), 0) for k in pkeys}
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.table(self._ident(table))
+
+    def write_metrics(self, table: str, df: DataFrame) -> None:
+        ident = self._ident(f"{table}__metrics")
+        self._ensure(ident, self._schema_ddl(df.schema), ("run_id", PKEY_COL))
+        df.coalesce(1).writeTo(ident).overwritePartitions()
+
+    def read_metrics(self, table: str) -> DataFrame:
+        return self.spark.table(self._ident(f"{table}__metrics"))
+
+
 def open_catalog(spark: SparkSession, warehouse: str):
-    """Factory: Iceberg catalog if one is configured on the session,
-    else the parquet fallback.  The Iceberg path is exercised only on
-    real clusters (no Iceberg runtime jar ships in this sandbox)."""
+    """Factory: IcebergCatalog if one is configured on the session,
+    else the parquet fallback.
+
+    Selection order:
+      1. `spark.graft.catalog` — explicit catalog name (set it when the
+         Iceberg catalog is registered under a non-standard name);
+      2. `spark.sql.catalog.graft` / `spark.sql.catalog.spark_catalog`
+         whose implementation class mentions Iceberg;
+      3. ParquetCatalog on `warehouse` (the sandbox default).
+    """
+    try:
+        explicit = spark.conf.get("spark.graft.catalog")
+    except Exception:
+        explicit = None
+    if explicit:
+        return IcebergCatalog(spark, explicit)
     for key in ("spark.sql.catalog.graft", "spark.sql.catalog.spark_catalog"):
         try:
             impl = spark.conf.get(key)
         except Exception:
             impl = None
         if impl and "iceberg" in str(impl).lower():
-            raise NotImplementedError(
-                "Iceberg catalog detected; wire IcebergCatalog (writeTo/append "
-                "+ manifest table) here when running with the Iceberg runtime."
-            )
+            return IcebergCatalog(spark, key.rsplit(".", 1)[-1])
     return ParquetCatalog(spark, warehouse)
