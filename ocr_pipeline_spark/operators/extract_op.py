@@ -75,8 +75,15 @@ def _describe(sources: list[str]) -> str:
 
 
 # --- fused kernel ------------------------------------------------------------
-def fused_extract_kernel(describe: bool):
-    """mapInPandas kernel: pages(url, warc_ts, html, lang) -> EXTRACTED_DDL."""
+def fused_extract_kernel(describe: bool, counters: dict | None = None):
+    """mapInPandas kernel: pages(url, warc_ts, html, lang) -> EXTRACTED_DDL.
+
+    `counters`: optional dict of Spark accumulators
+    ({"pages", "empty_pages", "described_pages"}) incremented once per
+    Arrow batch — progress observability (P7) with zero extra scan.
+    Accumulator semantics: exact for the single planned run of each
+    task, over-counted on speculative retries — observability, not
+    lineage (the manifest/metrics rows stay authoritative)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,6 +115,14 @@ def fused_extract_kernel(describe: bool):
                 cols["n_chars"][i] = len(markdown)
                 cols["n_figures"][i] = n_figures
                 cols["n_html_bytes"][i] = len(html) if html is not None else 0
+            if counters is not None:
+                counters["pages"].add(n)
+                counters["empty_pages"].add(
+                    sum(1 for c in cols["n_chars"] if c == 0)
+                )
+                counters["described_pages"].add(
+                    sum(1 for d in cols["description"] if d)
+                )
             out = pd.DataFrame(
                 {
                     "url": pdf["url"].reset_index(drop=True),

@@ -15,8 +15,10 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 IMAGE_META_DDL = (
@@ -87,30 +89,127 @@ def probe_audio(data: bytes | None) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> "np.ndarray":
+    """Minimal pure-Python PNG decoder: zlib inflate + per-scanline
+    unfilter (filters 0-4), palette expansion.  Supports bit depth 8,
+    color types 0/2/3/4/6, no interlace — the overwhelming majority of
+    web PNGs.  Returns an (H, W, C) uint8 array; raises ValueError on
+    malformed or unsupported input.  This makes the PNG pixel path real
+    without any codec dependency (zlib is stdlib)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("bad IHDR")
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (depth={depth} color={color} "
+                         f"interlace={interlace})")
+    nch = _PNG_CHANNELS[color]
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("short pixel data")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        base = y * (stride + 1)
+        f = raw[base]
+        line = np.frombuffer(raw[base + 1 : base + 1 + stride], np.uint8).astype(
+            np.int64
+        )
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up — fully vectorized
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth need the left neighbor
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                if f == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (cur[x] + (a + b) // 2) & 0xFF
+                else:  # Paeth
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter byte {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if color == 3:  # palette
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
 def _decode_image(data: bytes):
-    """Pixel decode — real under PIL, NotImplementedError otherwise.
-    Feature extraction below never calls this in the stub path."""
+    """Pixel decode: PIL when installed, the pure-Python PNG decoder for
+    PNG payloads otherwise; NotImplementedError for formats that truly
+    need codecs (JPEG/GIF) in this container.  Returns (H, W, C) uint8."""
     if _HAVE_PIL:  # pragma: no cover
         import io
 
-        return _PIL_Image.open(io.BytesIO(data)).convert("RGB")
+        return np.asarray(_PIL_Image.open(io.BytesIO(data)).convert("RGB"))
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     raise NotImplementedError(
-        "pixel decode requires PIL; this container ships no codecs "
-        "(deterministic header/byte features are used instead)"
+        "pixel decode for non-PNG formats requires PIL; this container "
+        "ships no codecs (deterministic header/byte features are used "
+        "instead)"
     )
 
 
 def image_features(data: bytes | None, dim: int = 16) -> list[float]:
-    """Deterministic byte-level feature vector (the stub embedding): a
-    normalized histogram of byte values folded to `dim` buckets.  With
-    real codecs this becomes a pixel-statistics / model embedding with
-    the SAME schema and batch shape."""
-    counts = [0] * dim
-    if data:
-        for b in data:
-            counts[b % dim] += 1
-    total = sum(counts) or 1
-    return [round(c / total, 6) for c in counts]
+    """Deterministic feature vector: for decodable images, a normalized
+    luminance histogram folded to `dim` buckets (real pixel features —
+    PNG decodes here codec-free); otherwise a byte-value histogram with
+    the same schema and batch shape, so the Spark plumbing is identical
+    either way."""
+    if not data:
+        return [round(0.0, 6)] * dim
+    try:
+        px = _decode_image(data).astype(np.uint32)
+        lum = (
+            (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
+            if px.shape[2] >= 3
+            else px[:, :, 0]
+        )
+        counts = np.bincount((lum.ravel() * dim) // 256, minlength=dim)[:dim]
+    except (NotImplementedError, ValueError, IndexError):
+        counts = np.bincount(
+            np.frombuffer(data, np.uint8) % dim, minlength=dim
+        )[:dim]
+    total = int(counts.sum()) or 1
+    return [round(float(c) / total, 6) for c in counts]
 
 
 # --- Arrow-batched operators ---------------------------------------------

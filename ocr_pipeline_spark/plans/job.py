@@ -78,7 +78,12 @@ def default_session(
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         )
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
-        .config("spark.ui.enabled", "false")
+        # observability default: UI on unless benchmarking (SPARK_GRAFT_UI=0);
+        # `extra` still overrides either way
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI", "0") == "1" else "false",
+        )
     )
     if shuffle_partitions:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -113,6 +118,7 @@ def run_extraction(
     num_partitions: int | None = None,
     salt: int = 8,
     co_locate_hosts: bool = True,
+    counters: dict | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> extracted DataFrame.
 
@@ -136,7 +142,7 @@ def run_extraction(
 
     if mode == "fused":
         return distributed.mapInPandas(
-            fused_extract_kernel(describe), schema=EXTRACTED_DDL
+            fused_extract_kernel(describe, counters), schema=EXTRACTED_DDL
         )
 
     if mode != "staged":
@@ -198,6 +204,12 @@ def run_pipeline(
     """
     catalog = open_catalog(spark, warehouse)
     t_start = time.time()
+    # kernel-side progress counters (P7): filled by the extraction kernel
+    # itself during the write action — no extra scan (fused mode only)
+    counters = {
+        name: spark.sparkContext.accumulator(0)
+        for name in ("pages", "empty_pages", "described_pages")
+    }
 
     done = catalog.completed_buckets(table, run_id)
     pending = [k for k in range(n_buckets) if k not in done]
@@ -205,6 +217,7 @@ def run_pipeline(
         return {
             "run_id": run_id, "n_buckets": n_buckets, "skipped": n_buckets,
             "processed_buckets": [], "n_docs": 0, "seconds": 0.0,
+            "counters": {name: 0 for name in counters},
         }
 
     # pkey is a pure function of warc_ts, so chunk selection happens on
@@ -229,6 +242,7 @@ def run_pipeline(
                 spark, pages_chunk, describe=describe, mode=mode,
                 num_partitions=num_partitions, salt=salt,
                 co_locate_hosts=co_locate_hosts,
+                counters=counters if mode == "fused" else None,
             ),
             n_buckets,
         )
@@ -256,4 +270,5 @@ def run_pipeline(
         "processed_buckets": processed,
         "n_docs": total_docs,
         "seconds": round(time.time() - t_start, 3),
+        "counters": {name: acc.value for name, acc in counters.items()},
     }

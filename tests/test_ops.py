@@ -183,12 +183,114 @@ def test_multimodal_spark_plumbing(spark):
     assert by_id[3] == []
 
 
-def test_decode_stub_raises_without_codecs():
+def test_decode_image_codec_boundaries():
     from ocr_pipeline_spark.operators import multimodal
 
     if not multimodal._HAVE_PIL:
-        with pytest.raises(NotImplementedError):
+        # malformed PNG payload: the pure-Python decoder rejects it
+        with pytest.raises(ValueError):
             multimodal._decode_image(_PNG)
+        # formats that genuinely need codecs stay a guarded boundary
+        with pytest.raises(NotImplementedError):
+            multimodal._decode_image(_GIF)
+
+
+# --- real PNG decode (pure Python, no codecs) --------------------------------
+def _png_filter_row(f, cur, prev, nch):
+    out = bytearray()
+    for x in range(len(cur)):
+        a = cur[x - nch] if x >= nch else 0
+        b = prev[x]
+        c = prev[x - nch] if x >= nch else 0
+        if f == 0:
+            v = cur[x]
+        elif f == 1:
+            v = cur[x] - a
+        elif f == 2:
+            v = cur[x] - b
+        elif f == 3:
+            v = cur[x] - (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = cur[x] - pred
+        out.append(v & 0xFF)
+    return bytes(out)
+
+
+def _make_png(arr, filters=None, palette=None):
+    """Reference PNG encoder for tests (spec-direction filtering)."""
+    import zlib
+
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c] if palette is None else 3
+    raw = b""
+    prev = [0] * (w * c)
+    for y in range(h):
+        f = filters[y] if filters else 0
+        cur = [int(v) for v in arr[y].reshape(-1)]
+        raw += bytes([f]) + _png_filter_row(f, cur, prev, c)
+        prev = cur
+
+    def chunk(ctype, payload):
+        import struct as st
+
+        return (
+            st.pack(">I", len(payload)) + ctype + payload
+            + st.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        parts.append(chunk(b"PLTE", palette.tobytes()))
+    parts.append(chunk(b"IDAT", zlib.compress(raw)))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def test_decode_png_roundtrip_all_filters():
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(8, 5, 3), dtype=np.uint8)
+    png = _make_png(arr, filters=[0, 1, 2, 3, 4, 2, 1, 3])
+    assert np.array_equal(decode_png(png), arr)
+
+
+def test_decode_png_gray_rgba_palette():
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(9)
+    gray = rng.randint(0, 256, size=(4, 7, 1), dtype=np.uint8)
+    assert np.array_equal(decode_png(_make_png(gray, filters=[4, 3, 1, 2])), gray)
+    rgba = rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(_make_png(rgba, filters=[1, 4, 3])), rgba)
+    palette = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    idx = rng.randint(0, 8, size=(4, 6, 1), dtype=np.uint8)
+    out = decode_png(_make_png(idx, palette=palette))
+    assert np.array_equal(out, palette[idx[:, :, 0]])
+
+
+def test_image_features_pixel_path_on_real_png():
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.multimodal import image_features
+
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)  # all-black image
+    png = _make_png(arr)
+    f = image_features(png, dim=8)
+    # luminance 0 -> every pixel lands in bucket 0 (byte-histogram of the
+    # compressed stream would spread across buckets)
+    assert f[0] == 1.0 and sum(f[1:]) == 0.0
+    white = np.full((4, 4, 3), 255, dtype=np.uint8)
+    fw = image_features(_make_png(white), dim=8)
+    assert fw[7] == 1.0
 
 
 # --- config -------------------------------------------------------------------

@@ -194,6 +194,14 @@ def test_pipeline_kill_resume(spark, pages, fused_result):
         # lineage metrics exist and add up
         m = cat.read_metrics("extracted")
         assert m.agg(F.sum("n_docs")).first()[0] == N_ROWS
+
+        # P7: kernel-side accumulator counters come back in the summary
+        # without a second scan; both runs together processed every page
+        assert partial["counters"]["pages"] + resumed["counters"]["pages"] \
+            == N_ROWS
+        assert noop["counters"] == {
+            "pages": 0, "empty_pages": 0, "described_pages": 0
+        }
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
