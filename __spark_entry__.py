@@ -562,6 +562,31 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_pdf_page_explode(spark, sf_dir):
+    """S2 graft for binary PDF payloads: structural page split
+    (sources/pdf.py, ref stage2_ocr.py:406-442) -> explode() to page
+    rows -> per-page text extraction.  Input: the deterministic PDF
+    corpus (pure function of seed+doc_id); sf scales n_docs."""
+    from ocr_pipeline_spark.fixtures.gen_pdfs import generate_pdfs_df
+    from ocr_pipeline_spark.sources.pdf import explode_pdf_pages, page_text
+
+    n = min(max(100, int(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * 40_000)), 2000)
+    docs = generate_pdfs_df(spark, n, seed=42)
+    pages = explode_pdf_pages(docs, "payload")
+
+    def text_kernel(batches):
+        for pdf in batches:
+            out = pdf[["url", "page_num"]].copy()
+            out["n_bytes"] = [len(c or b"") for c in pdf["content"]]
+            out["text"] = [page_text(c) for c in pdf["content"]]
+            yield out
+
+    return pages.mapInPandas(
+        text_kernel,
+        schema="url string, page_num int, n_bytes bigint, text string",
+    ).orderBy("url", "page_num")
+
+
 def _q_near_dup_verified(spark, sf_dir):
     from ocr_pipeline_spark.operators.text_ops import verified_near_dups
 
@@ -606,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "fingerprint_overlap": _q_fingerprint_overlap,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "pdf_page_explode": _q_pdf_page_explode,
     }
 
 

@@ -1,0 +1,247 @@
+"""PDF payload → page rows (the S2 page-explode graft).
+
+Reference analog: ``pdf_to_page_images``
+(/root/reference/src/stage2_ocr.py:406-442) opens a PDF with PyMuPDF
+and emits one rendered image per page.  Spark-first shape: a pandas-UDF
+splitter turns each document's ``binary`` payload into
+``ARRAY<STRUCT<page_num,content>>`` and ``explode()`` turns documents
+into page rows — downstream kernels stay per-page, exactly like the
+html path (kernel/page.py), and the explode parallelizes pages across
+tasks.
+
+Decode strategy mirrors operators/multimodal.py:
+  * with PyMuPDF installed (real clusters), ``content`` is the
+    rendered-PNG bytes of each page — byte-compatible with the
+    reference's pixmap path;
+  * without codecs (this sandbox), ``content`` is each page's
+    decompressed content stream(s): a REAL structural parse (object
+    scan, page-tree ordering via /Kids, /Contents dereference, Flate
+    inflate via stdlib zlib) — deterministic and testable end to end,
+    and `page_text` extracts the text show operators from it, so
+    PDF pages flow through the same text pipeline as html pages.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PDF_PAGES_DDL = "array<struct<page_num:int,content:binary>>"
+
+try:  # pragma: no cover - not shipped in this container
+    import fitz as _fitz  # type: ignore
+
+    _HAVE_MUPDF = True
+except ImportError:
+    _HAVE_MUPDF = False
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
+_CONTENTS_RE = re.compile(rb"/Contents\s*(\[(?:.*?)\]|\d+\s+\d+\s+R)", re.S)
+
+
+def _object_map(data: bytes) -> dict[int, bytes]:
+    """Object number -> object body (xref-free linear scan — robust to
+    the truncated/concatenated PDFs a web crawl serves)."""
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+
+
+def _stream_bytes(body: bytes) -> bytes:
+    """Slice a stream object's payload; inflate FlateDecode streams."""
+    i = body.find(b"stream")
+    if i < 0:
+        return b""
+    i += len(b"stream")
+    if body[i : i + 2] == b"\r\n":
+        i += 2
+    elif body[i : i + 1] in (b"\n", b"\r"):
+        i += 1
+    j = body.rfind(b"endstream")
+    raw = body[i:j] if j > i else body[i:]
+    # strip exactly ONE trailing EOL (the writer's, per spec) — a blanket
+    # rstrip would eat legitimate 0x0a/0x0d bytes ending a deflate stream
+    if raw.endswith(b"\r\n"):
+        raw = raw[:-2]
+    elif raw.endswith((b"\n", b"\r")):
+        raw = raw[:-1]
+    if b"/FlateDecode" in body[: body.find(b"stream")]:
+        try:
+            return zlib.decompressobj().decompress(raw)
+        except zlib.error:
+            return raw
+    return raw
+
+
+def _page_order(objects: dict[int, bytes], page_ids: list[int]) -> list[int]:
+    """Page order from the page tree's /Kids arrays (depth-first over
+    /Type /Pages nodes); falls back to file order when no tree exists."""
+    kids_of: dict[int, list[int]] = {}
+    roots: list[int] = []
+    for num, body in objects.items():
+        if b"/Type" in body and re.search(rb"/Type\s*/Pages\b", body):
+            m = _KIDS_RE.search(body)
+            kids_of[num] = (
+                [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+                if m
+                else []
+            )
+    child_ids = {k for kids in kids_of.values() for k in kids}
+    roots = [n for n in kids_of if n not in child_ids]
+    ordered: list[int] = []
+    seen: set[int] = set()
+
+    def walk(node: int) -> None:
+        if node in seen:
+            return
+        seen.add(node)
+        if node in kids_of:
+            for k in kids_of[node]:
+                walk(k)
+        elif node in page_ids:
+            ordered.append(node)
+
+    for r in sorted(roots):
+        walk(r)
+    for p in page_ids:  # pages outside the tree keep file order
+        if p not in ordered:
+            ordered.append(p)
+    return ordered
+
+
+def split_pdf_pages(data: bytes | None) -> list[dict]:
+    """binary PDF -> [{"page_num": i, "content": bytes}], 1-based.
+
+    With PyMuPDF: content = rendered-PNG bytes per page (the reference's
+    pixmap).  Without: content = the page's decompressed content
+    stream(s), in page-tree order.  Malformed/non-PDF payloads yield []
+    (a crawl row with a lying content-type must not fail the task).
+    """
+    if not data or data[:5] != b"%PDF-":
+        return []
+    if _HAVE_MUPDF:  # pragma: no cover - real-cluster path
+        doc = _fitz.open(stream=data, filetype="pdf")
+        out = [
+            {"page_num": i + 1,
+             "content": page.get_pixmap(dpi=72).tobytes("png")}
+            for i, page in enumerate(doc)
+        ]
+        doc.close()
+        return out
+    objects = _object_map(data)
+    page_ids = [
+        num for num, body in objects.items()
+        if re.search(rb"/Type\s*/Page\b", body)
+        and not re.search(rb"/Type\s*/Pages\b", body)
+    ]
+    if not page_ids:
+        return []
+    out = []
+    for i, num in enumerate(_page_order(objects, page_ids)):
+        m = _CONTENTS_RE.search(objects[num])
+        content = b""
+        if m:
+            refs = [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+            content = b"\n".join(
+                _stream_bytes(objects[r]) for r in refs if r in objects
+            )
+        out.append({"page_num": i + 1, "content": content})
+    return out
+
+
+_TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')")
+_TJARR_RE = re.compile(rb"\[((?:[^\[\]\\]|\\.)*)\]\s*TJ", re.S)
+_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+_ESC = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _unescape(s: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        c = s[i : i + 1]
+        if c == b"\\" and i + 1 < len(s):
+            nxt = s[i + 1 : i + 2]
+            if nxt in _ESC:
+                out += _ESC[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                while j < min(i + 4, len(s)) and s[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(s[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def page_text(content: bytes | None) -> str:
+    """Text show operators (Tj / ' / TJ) of a content stream, in stream
+    order, newline-joined — the codec-free analog of the reference's
+    per-page OCR text."""
+    if not content:
+        return ""
+    pieces: list[tuple[int, bytes]] = []
+    for m in _TJ_RE.finditer(content):
+        pieces.append((m.start(), _unescape(m.group(1))))
+    for m in _TJARR_RE.finditer(content):
+        joined = b"".join(
+            _unescape(s.group(1)) for s in _STR_RE.finditer(m.group(1))
+        )
+        pieces.append((m.start(), joined))
+    pieces.sort()
+    return "\n".join(
+        p.decode("utf-8", "replace") for _, p in pieces if p
+    )
+
+
+# --- Spark operators ---------------------------------------------------------
+def pdf_pages_kernel(bin_col: str = "payload", out_col: str = "pages"):
+    """mapInPandas kernel factory: adds the page array column."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [split_pdf_pages(d) for d in pdf[bin_col]]
+            yield pdf
+
+    return kernel
+
+
+def explode_pdf_pages(
+    df: DataFrame, bin_col: str = "payload", keep_cols: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """documents(url, payload) -> pages(url, page_num, content).
+
+    The splitter is one narrow Arrow pass; explode() then multiplies
+    rows without a shuffle, so page rows inherit the input partitioning
+    and downstream per-page kernels parallelize across pages even when
+    one task's documents are few and thick."""
+    keep = [F.col(c) for c in keep_cols]
+    ddl = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+    with_pages = df.select(*keep_cols, bin_col).mapInPandas(
+        pdf_pages_kernel(bin_col),
+        schema=f"{ddl}, {bin_col} binary, pages {PDF_PAGES_DDL}",
+    )
+    return with_pages.select(
+        *keep, F.explode("pages").alias("page")
+    ).select(
+        *keep,
+        F.col("page.page_num").alias("page_num"),
+        F.col("page.content").alias("content"),
+    )
