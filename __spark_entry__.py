@@ -596,6 +596,28 @@ def _q_near_dup_verified(spark, sf_dir):
     )
 
 
+def _q_jaccard_pairs_host(spark, sf_dir):
+    """Exact within-host char-3-gram Jaccard pairs (blocked dedup),
+    integer-exact output so the DuckDB oracle hash-matches."""
+    from ocr_pipeline_spark.operators.text_ops import blocked_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return blocked_jaccard_pairs(
+        d, "doc_id", "text", "source", threshold_num=3, threshold_den=5
+    ).orderBy("id_a", "id_b")
+
+
+def _q_lang_pred(spark, sf_dir):
+    """Deterministic stopword-vote language ID (Arrow kernel), with an
+    exact DuckDB oracle replicating the vote + tie-break in SQL."""
+    from ocr_pipeline_spark.operators.text_ops import lang_id_kernel
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        lang_id_kernel(), schema="doc_id long, text string, lang_pred string"
+    ).select("doc_id", "lang_pred").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -632,7 +654,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_overlap": _q_fingerprint_overlap,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "pdf_page_explode": _q_pdf_page_explode,
+        "jaccard_pairs_host": _q_jaccard_pairs_host,
+        "lang_pred": _q_lang_pred,
     }
+
+
+def _lang_pred_oracle_sql() -> str:
+    """DuckDB replica of text_ops.identify_language: per-token stopword
+    vote per language, best = max by (score, lang) — i.e. ties go to the
+    lexicographically GREATEST language code, 0 votes (or no words) ->
+    'und'.  Profiles are imported from the kernel so oracle and Spark
+    can't drift."""
+    from ocr_pipeline_spark.operators.text_ops import _LANG_PROFILES, _WORD_RE
+
+    pattern = _WORD_RE.pattern
+    score_cols = ", ".join(
+        "sum(CASE WHEN w IN ({lst}) THEN 1 ELSE 0 END) AS s_{lang}".format(
+            lst=", ".join(f"'{word}'" for word in sorted(profile)), lang=lang
+        )
+        for lang, profile in sorted(_LANG_PROFILES.items())
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, s_{lang} AS s FROM scores"
+        for lang in sorted(_LANG_PROFILES)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{pattern}')) AS w
+            FROM documents
+        ), scores AS (
+            SELECT doc_id, {score_cols} FROM toks GROUP BY doc_id
+        ), unp AS ({unpivot}),
+        best AS (
+            SELECT doc_id, lang, s,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY s DESC, lang DESC) AS rn
+            FROM unp
+        )
+        SELECT d.doc_id,
+               CASE WHEN b.s IS NULL OR b.s = 0 THEN 'und' ELSE b.lang END
+                   AS lang_pred
+        FROM documents d
+        LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        ORDER BY d.doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -907,8 +973,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
             ORDER BY source
         """,
+        "jaccard_pairs_host": """
+            WITH grams AS (
+                SELECT doc_id, source,
+                       list(DISTINCT substring(text, i, 3)) AS gs
+                FROM (SELECT doc_id, source, text,
+                             unnest(generate_series(
+                                 1, greatest(length(text) - 2, 1))) AS i
+                      FROM documents)
+                GROUP BY doc_id, source
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.gs, b.gs)) AS n_inter,
+                   len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))
+                       AS n_union
+            FROM grams a JOIN grams b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE 5 * len(list_intersect(a.gs, b.gs))
+                  >= 3 * (len(a.gs) + len(b.gs)
+                          - len(list_intersect(a.gs, b.gs)))
+            ORDER BY id_a, id_b
+        """,
+        "lang_pred": _lang_pred_oracle_sql(),
         # extract_documents / lang_simhash / minhash_dup_pairs / ann_lsh /
         # ann_ivf / near_dup_verified / doc_fingerprints /
-        # fingerprint_overlap / embedding_near_dup_lsh: kernel-based,
-        # not SQL-expressible -> rows-only driver check.
+        # fingerprint_overlap / embedding_near_dup_lsh / pdf_page_explode:
+        # kernel-based, not SQL-expressible -> rows-only driver check.
     }

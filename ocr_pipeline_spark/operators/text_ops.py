@@ -395,6 +395,70 @@ def fingerprint_overlap_pairs(
     )
 
 
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_col: str = "source",
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    n: int = 3,
+    max_block: int = 512,
+) -> DataFrame:
+    """EXACT char-n-gram Jaccard pairs within a blocking key (host/source
+    — the standard blocked-dedup pattern: near-dups overwhelmingly live
+    on the same site).
+
+    One shuffle on the block key; each block task computes gram sets
+    once per doc, then pairwise intersections.  Output is integer-exact
+    — (id_a, id_b, n_inter, n_union) with the threshold applied as
+    `den*n_inter >= num*n_union` — so a SQL oracle hash-matches with no
+    float-rounding hazard.  Per-block work is quadratic by design
+    (that's what blocking means); blocks larger than `max_block` docs
+    are skipped — at corpus scale a mega-host needs the MinHash-LSH
+    path (verified_near_dups), not exact all-pairs.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2 or m > max_block:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "n_inter": pd.Series([], dtype="int64"),
+                 "n_union": pd.Series([], dtype="int64")}
+            )
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        grams = [
+            {t[i : i + n] for i in range(max(len(t) - n + 1, 0))} or {t}
+            for t in ((x or "") for x in pdf["_text"])
+        ]
+        out_a, out_b, out_i, out_u = [], [], [], []
+        for i in range(m):
+            gi = grams[i]
+            for j in range(i + 1, m):
+                inter = len(gi & grams[j])
+                union = len(gi) + len(grams[j]) - inter
+                if threshold_den * inter >= threshold_num * union:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_i.append(inter)
+                    out_u.append(union)
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "n_inter": out_i, "n_union": out_u}
+        )
+
+    return base.groupBy("_blk").applyInPandas(
+        per_block, schema="id_a long, id_b long, n_inter long, n_union long"
+    )
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Character n-gram Jaccard similarity (verification of candidates)."""
     ga = {a[i : i + n] for i in range(max(len(a) - n + 1, 0))} or {a}

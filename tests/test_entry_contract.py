@@ -132,6 +132,32 @@ def test_near_dup_lsh_pair_recall_vs_exact(spark):
     assert len(rounding_false_pos) <= max(3, len(exact) // 10), rounding_false_pos
 
 
+def test_near_dup_verified_consistent_with_exact_oracle(spark):
+    """near_dup_verified (MinHash-LSH + n-gram verify) is rows-only; pin
+    it two independent ways: (a) every reported jaccard equals an
+    in-process recomputation on the raw texts, (b) any same-host pair at
+    the exact query's threshold appears in the oracled exact result."""
+    from ocr_pipeline_spark.operators.text_ops import ngram_jaccard
+
+    qs = entry_mod.queries()
+    texts = {r.doc_id: r.text for r in
+             spark.read.parquet(f"{SF_DIR}/documents.parquet")
+             .select("doc_id", "text").collect()}
+    hosts = {r.doc_id: r.source for r in
+             spark.read.parquet(f"{SF_DIR}/documents.parquet")
+             .select("doc_id", "source").collect()}
+    nd = [(r.id_a, r.id_b, r.jaccard) for r in
+          qs["near_dup_verified"](spark, SF_DIR).collect()]
+    assert nd, "no verified near-dups on the fixture corpus"
+    for a, b, j in nd:
+        assert j == round(ngram_jaccard(texts[a], texts[b]), 4), (a, b)
+    exact = {(r.id_a, r.id_b) for r in
+             qs["jaccard_pairs_host"](spark, SF_DIR).collect()}
+    for a, b, j in nd:
+        if j >= 0.6 and hosts[a] == hosts[b]:
+            assert (a, b) in exact, (a, b, j)
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     n = df.count()

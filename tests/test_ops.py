@@ -457,6 +457,38 @@ def test_cosine_near_dup_lsh_string_ids(spark):
     assert ("doc-3", "doc-zz") in pairs
 
 
+def test_blocked_jaccard_pairs_semantics(spark):
+    from ocr_pipeline_spark.operators.text_ops import blocked_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "hostA", base),
+        (2, "hostA", base + " tail"),          # near-dup of 1, same host
+        (3, "hostB", base),                     # near-dup text, OTHER host
+        (4, "hostA", "completely different words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    pairs = blocked_jaccard_pairs(df, "doc_id", "text", "source").collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got          # same-host near-dup found
+    assert all(a != 3 and b != 3 for a, b in got)  # blocking: no cross-host
+    assert (1, 4) not in got      # dissimilar filtered
+    r12 = next(r for r in pairs if (r.id_a, r.id_b) == (1, 2))
+    assert 5 * r12.n_inter >= 3 * r12.n_union  # integer threshold held
+
+
+def test_blocked_jaccard_pairs_max_block_skip(spark):
+    from ocr_pipeline_spark.operators.text_ops import blocked_jaccard_pairs
+
+    rows = [(i, "mega", "identical text shared by every document here")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    assert blocked_jaccard_pairs(df, "doc_id", "text", "source",
+                                 max_block=10).count() == 0
+    assert blocked_jaccard_pairs(df, "doc_id", "text", "source",
+                                 max_block=100).count() == 30 * 29 // 2
+
+
 # --- IVF ANN -----------------------------------------------------------------
 def test_ivf_ann_recall_vs_bruteforce(spark):
     import random
