@@ -168,3 +168,157 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+# --- stateful sessionizer: state bounds + ordering guards --------------------
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the kernel."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_sessionizer_timeout_emits_and_evicts():
+    import pandas as pd
+
+    from ocr_pipeline_spark.streaming.stateful import make_sessionizer
+
+    fn = make_sessionizer(gap_seconds=1800, timeout_factor=2)
+    t0 = pd.Timestamp("2024-01-01 10:00:00").value // 1000
+    state = _FakeState(value=(t0, t0 + 300_000_000, 3, 7.5), timed_out=True)
+    out = list(fn((1,), iter([]), state))
+    assert state.removed  # bounded state: idle user evicted
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["n_events"] == 3 and row["session_value"] == 7.5
+
+
+def test_sessionizer_sets_timeout_after_update():
+    import pandas as pd
+
+    from ocr_pipeline_spark.streaming.stateful import make_sessionizer
+
+    fn = make_sessionizer(gap_seconds=60, timeout_factor=3)
+    batch = pd.DataFrame(
+        {"event_id": [1], "ts": [pd.Timestamp("2024-01-01 10:00:00")],
+         "user_id": [1], "value": [1.0]}
+    )
+    state = _FakeState()
+    list(fn((1,), iter([batch]), state))
+    assert state.timeout_ms == 60 * 3 * 1000
+    assert state.exists
+
+
+def test_sessionizer_drops_cross_batch_late_events(spark, tmp_path):
+    """An event arriving in a later micro-batch with ts older than the
+    stored session tail must be dropped, not silently merged."""
+    import pandas as pd
+
+    from ocr_pipeline_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(schema).parquet(src), gap_seconds=1800
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from datetime import datetime
+
+    ts = datetime.fromisoformat
+    run_batch([(1, ts("2024-01-01 10:00:00"), 7, 1.0),
+               (2, ts("2024-01-01 10:05:00"), 7, 2.0)])
+    # late event (09:00) + a far-future event that closes the session
+    run_batch([(3, ts("2024-01-01 09:00:00"), 7, 100.0),
+               (4, ts("2024-01-01 12:00:00"), 7, 4.0)])
+
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the closed session is exactly the two in-order events — the late
+    # 09:00 event (value 100) contributed nothing
+    assert r.n_events == 2 and r.session_value == 3.0
+    assert r.session_start == ts("2024-01-01 10:00:00")
+    assert r.session_end == ts("2024-01-01 10:05:00")
+
+
+def test_sessionizer_timeout_fires_on_continuous_trigger(spark, tmp_path):
+    """With timeout_factor armed on a processingTime trigger, an idle
+    user's open session is emitted by the timeout (no closing event
+    needed) and the state row is evicted."""
+    import os
+    import time
+    from datetime import datetime
+
+    from ocr_pipeline_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+    spark.createDataFrame(
+        [(1, datetime.fromisoformat("2024-01-01 10:00:00"), 9, 2.5)], schema
+    ).coalesce(1).write.parquet(src)
+
+    q = (
+        sessionize_stream(
+            spark.readStream.schema(schema).parquet(src),
+            gap_seconds=1, timeout_factor=2,   # 2s idle timeout
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline and not rows:
+            time.sleep(1)
+            if os.path.isdir(sink):
+                try:
+                    rows = spark.read.parquet(sink).collect()
+                except Exception:
+                    rows = []
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0].n_events == 1 and rows[0].session_value == 2.5
