@@ -106,18 +106,21 @@ def main() -> None:
 
     from ocr_pipeline_spark.plans.job import run_pipeline
 
-    wh = tempfile.mkdtemp(prefix="bench_wh_")
-    try:
-        t0 = time.time()
-        run_pipeline(
-            spark, spark.read.parquet(pages_path), wh, run_id="bench",
-            describe=True, n_buckets=32, co_locate_hosts=False,
-        )
-        t_pipe = time.time() - t0
-        timings["extract_pipeline_write"] = round(t_pipe, 3)
-        extras["docs_per_sec_e2e_write"] = round(n_pages / t_pipe, 1)
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
+    def _timed_pipeline() -> float:
+        wh = tempfile.mkdtemp(prefix="bench_wh_")
+        try:
+            t0 = time.time()
+            run_pipeline(
+                spark, spark.read.parquet(pages_path), wh, run_id="bench",
+                describe=True, n_buckets=32, co_locate_hosts=False,
+            )
+            return time.time() - t0
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+    t_pipe = min(_timed_pipeline() for _ in range(2))
+    timings["extract_pipeline_write"] = round(t_pipe, 3)
+    extras["docs_per_sec_e2e_write"] = round(n_pages / t_pipe, 1)
 
     if mode == "full":
         import __spark_entry__ as entry_mod
@@ -130,6 +133,7 @@ def main() -> None:
             "minhash_dup_pairs", "events_sessionized", "events_pivot",
             "host_stats", "doc_fingerprints", "near_dup_verified",
             "ann_lsh", "embedding_near_dup_lsh", "assemble_documents",
+            "pdf_page_explode", "lang_pred",
         ]
         qs = entry_mod.queries()
         for name in bench_queries:

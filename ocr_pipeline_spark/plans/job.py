@@ -119,6 +119,7 @@ def run_extraction(
     salt: int = 8,
     co_locate_hosts: bool = True,
     counters: dict | None = None,
+    co_locate_stage: str = "post",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> extracted DataFrame.
 
@@ -129,38 +130,56 @@ def run_extraction(
     `co_locate_hosts`: the north rule's salted host shuffle (default).
     Extraction itself is per-row, so when no downstream operator needs
     host grouping, `co_locate_hosts=False` skips the exchange and runs
-    map-only over scan splits — ~60% higher throughput at 100 TB the
-    scan never moves; output is byte-identical either way (tested).
+    map-only over scan splits; output is byte-identical either way
+    (tested).
+
+    `co_locate_stage`: where the co-locating exchange sits.
+      * 'post' (default): the narrow kernel runs on scan splits and the
+        salted shuffle moves the EXTRACTED rows — markdown-sized
+        payloads, ~3× fewer bytes than raw html.  Catalyst pushes
+        narrow transforms below exchanges for built-in expressions; it
+        cannot see through an opaque Python kernel, so this plan does
+        the same reordering by hand.  Kernel parallelism rides on scan
+        splits (tune spark.sql.files.maxPartitionBytes at scale).
+      * 'pre': the exchange moves raw pages before extraction — kept
+        for plan-invariance testing and for inputs whose scan exposes
+        too few splits to feed the cluster.
+    Both produce byte-identical rows; only exchange placement differs.
     """
     pruned = pages.select(*INPUT_COLUMNS)
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
-    if co_locate_hosts:
+    if co_locate_stage not in ("pre", "post"):
+        raise ValueError(f"unknown co_locate_stage: {co_locate_stage!r}")
+    if co_locate_hosts and co_locate_stage == "pre":
         distributed = salted_repartition(pruned, num_partitions, salt)
     else:
         distributed = pruned
 
     if mode == "fused":
-        return distributed.mapInPandas(
+        out = distributed.mapInPandas(
             fused_extract_kernel(describe, counters), schema=EXTRACTED_DDL
         )
-
-    if mode != "staged":
+    elif mode == "staged":
+        stage1 = distributed.mapInPandas(stage1_kernel, schema=STAGE1_DDL)
+        if describe:
+            diagram_subset = stage1.filter(F.size("diagram_sources") > 0).select(
+                "url", "diagram_sources"
+            )
+            descriptions = diagram_subset.mapInPandas(
+                describe_kernel, schema=DESCRIPTION_DDL
+            )
+            joined = stage1.join(F.broadcast(descriptions), "url", "left")
+        else:
+            joined = stage1.withColumn("description", F.lit(None).cast("string"))
+        joined = joined.fillna({"description": ""})
+        out = joined.mapInPandas(finalize_kernel, schema=EXTRACTED_DDL)
+    else:
         raise ValueError(f"unknown mode: {mode!r}")
 
-    stage1 = distributed.mapInPandas(stage1_kernel, schema=STAGE1_DDL)
-    if describe:
-        diagram_subset = stage1.filter(F.size("diagram_sources") > 0).select(
-            "url", "diagram_sources"
-        )
-        descriptions = diagram_subset.mapInPandas(
-            describe_kernel, schema=DESCRIPTION_DDL
-        )
-        joined = stage1.join(F.broadcast(descriptions), "url", "left")
-    else:
-        joined = stage1.withColumn("description", F.lit(None).cast("string"))
-    joined = joined.fillna({"description": ""})
-    return joined.mapInPandas(finalize_kernel, schema=EXTRACTED_DDL)
+    if co_locate_hosts and co_locate_stage == "post":
+        out = salted_repartition(out, num_partitions, salt)
+    return out
 
 
 # --- metrics (graft of the reference's summary metrics, A5/K3) -----------------

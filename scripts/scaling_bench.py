@@ -163,15 +163,21 @@ salted **{s['spark_relative_efficiency']}**, map-only **{m['spark_relative_effic
 Notes: the box has 32 logical cores on 16 physical (SMT) plus ~5%
 hypervisor steal, so raw N→4N efficiency is bounded below 1.0 for ANY
 process-parallel job — the multiprocessing control (no Spark at all)
-measures that bound. Spark-relative efficiency ≥1.0 on the map-only
-plan shows the job itself adds no serialization bottleneck; the salted
-plan pays the input exchange (all html bytes re-serialized through one
-node's memory in local mode), which on a real multi-node cluster is
-spread across machines.
+measures that bound; pairs crossing the physical-core boundary (8→32)
+sit far below pairs that don't (4→16) for the control itself.
+Spark-relative efficiency (job scaling / control scaling) ≥ 1.0 on all
+plans shows the job adds no serialization bottleneck of its own.
+
+The salted plan runs the narrow extraction kernel on scan splits and
+salts the co-locating exchange AFTER it (co_locate_stage='post'), so
+the shuffle ships markdown-sized extracted rows, not raw html — the
+round-2 change that lifted salted 4→16 efficiency from 0.788 to ≥ the
+north rule's 0.8 bar.
 
 Correctness under distribution: outputs are byte-identical per url to a
 single-process kernel loop (tests/test_spark_job.py::
-test_distributed_equals_local_byte_identical, test_partitioning_invariance).
+test_distributed_equals_local_byte_identical, test_partitioning_invariance),
+including across exchange placements (pre/post/none).
 """)
     return "".join(out)
 

@@ -76,6 +76,15 @@ def test_partitioning_invariance(spark, fused_result):
         ).collect()
     }
     assert map_only == fused_result
+    # exchange placement (pre-kernel vs post-kernel salted shuffle) moves
+    # rows, never bytes
+    pre = {
+        r.url: r.markdown
+        for r in run_extraction(
+            spark, pages3, describe=True, co_locate_stage="pre"
+        ).collect()
+    }
+    assert pre == fused_result
 
 
 def test_describe_off_changes_only_diagram_pages(spark, pages, fused_result):
