@@ -607,6 +607,25 @@ def _q_jaccard_pairs_host(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _q_dup_components_host(spark, sf_dir):
+    """Near-dup clusters: the oracled within-host Jaccard pairs form the
+    edge set; min-label propagation finds components (the canonical-doc
+    grouping every dedup pipeline needs after pair generation).  Oracle:
+    DuckDB recursive CTE over the same pair SQL."""
+    from ocr_pipeline_spark.operators.components import connected_components
+    from ocr_pipeline_spark.operators.text_ops import blocked_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = blocked_jaccard_pairs(
+        d, "doc_id", "text", "source", threshold_num=3, threshold_den=5
+    )
+    return (
+        connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_lang_pred(spark, sf_dir):
     """Deterministic stopword-vote language ID (Arrow kernel), with an
     exact DuckDB oracle replicating the vote + tie-break in SQL."""
@@ -656,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_page_explode": _q_pdf_page_explode,
         "jaccard_pairs_host": _q_jaccard_pairs_host,
         "lang_pred": _q_lang_pred,
+        "dup_components_host": _q_dup_components_host,
     }
 
 
@@ -995,6 +1015,34 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "lang_pred": _lang_pred_oracle_sql(),
+        "dup_components_host": """
+            WITH RECURSIVE grams AS (
+                SELECT doc_id, source,
+                       list(DISTINCT substring(text, i, 3)) AS gs
+                FROM (SELECT doc_id, source, text,
+                             unnest(generate_series(
+                                 1, greatest(length(text) - 2, 1))) AS i
+                      FROM documents)
+                GROUP BY doc_id, source
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM grams a JOIN grams b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE 5 * len(list_intersect(a.gs, b.gs))
+                      >= 3 * (len(a.gs) + len(b.gs)
+                              - len(list_intersect(a.gs, b.gs)))
+            ), e AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(id, r) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS component
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
         # extract_documents / lang_simhash / minhash_dup_pairs / ann_lsh /
         # ann_ivf / near_dup_verified / doc_fingerprints /
         # fingerprint_overlap / embedding_near_dup_lsh / pdf_page_explode:

@@ -595,3 +595,43 @@ def test_interval_join_bucket_boundaries(spark):
         left, right, key="k", left_start="s", left_end="e", right_time="ts"
     ).collect()}
     assert out == {(1, 101), (1, 102), (1, 103), (2, 106)}
+
+
+# --- connected components ----------------------------------------------------
+def test_connected_components_chain_and_islands(spark):
+    from ocr_pipeline_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain -> comp 1
+         (10, 11),                          # pair -> comp 10
+         (20, 21), (21, 22), (20, 22)],    # triangle -> comp 20
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from ocr_pipeline_spark.operators.components import connected_components
+
+    n = 40  # diameter >> typical; must still converge via min-propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_dedup_canonical_keeps_min_and_untouched(spark):
+    from ocr_pipeline_spark.operators.components import dedup_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5)], "id_a long, id_b long"
+    )  # {0,3,5} one cluster; 1,2,4 untouched
+    kept = sorted(r.doc_id for r in dedup_canonical(docs, "doc_id", pairs).collect())
+    assert kept == [0, 1, 2, 4]
