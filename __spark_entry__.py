@@ -93,6 +93,83 @@ def _q_top_orders(spark, sf_dir):
     )
 
 
+def _q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment filter -> 3-way join -> revenue per order
+    -> top 10.  The nation-style small dims broadcast; the orders join
+    shuffles on orderkey."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def _q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: lineitem ⋈ broadcast(part), promo revenue share
+    per ship-month (conditional aggregation over a join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)), 2).alias(
+                "promo_rev"
+            ),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def _q_priority_returned_orders(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join (orders with >= 1 returned
+    lineitem) -> counts by priority."""
+    o = _t(spark, sf_dir, "orders")
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+    )
+    return (
+        o.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_top_orders_per_segment(spark, sf_dir):
+    """Per-group top-k: 3 biggest orders per market segment (window
+    rank, one shuffle on the window key)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
 def _q_latest_event_per_user(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -642,6 +719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_orders": _q_top_orders,
+        "shipping_priority": _q_shipping_priority,
+        "promo_revenue": _q_promo_revenue,
+        "priority_returned_orders": _q_priority_returned_orders,
+        "top_orders_per_segment": _q_top_orders_per_segment,
         "latest_event_per_user": _q_latest_event_per_user,
         "events_daily": _q_events_daily,
         "events_running_total": _q_events_running_total,
@@ -750,6 +831,52 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 10
+        """,
+        "shipping_priority": """
+            SELECT o.o_orderkey, o.o_orderdate,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "promo_revenue": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   round(sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount) END), 2)
+                       AS promo_rev,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY ship_month
+            ORDER BY ship_month
+        """,
+        "priority_returned_orders": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, rk, o_orderkey, o_totalprice
+            FROM (
+                SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY c.c_mktsegment
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+                       ) AS rk
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            )
+            WHERE rk <= 3
+            ORDER BY c_mktsegment, rk
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type, value

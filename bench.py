@@ -133,7 +133,10 @@ def main() -> None:
             "minhash_dup_pairs", "events_sessionized", "events_pivot",
             "host_stats", "doc_fingerprints", "near_dup_verified",
             "ann_lsh", "embedding_near_dup_lsh", "assemble_documents",
-            "pdf_page_explode", "lang_pred",
+            "pdf_page_explode", "lang_pred", "shipping_priority",
+            "promo_revenue", "priority_returned_orders",
+            "top_orders_per_segment", "jaccard_pairs_host",
+            "dup_components_host",
         ]
         qs = entry_mod.queries()
         for name in bench_queries:
