@@ -684,6 +684,27 @@ def _q_jaccard_pairs_host(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _q_extract_pdf_documents(spark, sf_dir):
+    """Full PDF pipeline: binary payloads -> page split -> the SAME
+    extraction kernel + cleaning + per-document assembly as html pages
+    (sources/pdf.py:pdf_to_pages_df).  Ref analog: the reference's
+    whole per-PDF flow (render -> OCR -> assemble)."""
+    from ocr_pipeline_spark.fixtures.gen_pdfs import generate_pdfs_df
+    from ocr_pipeline_spark.operators.assembly_op import assemble_documents
+    from ocr_pipeline_spark.plans.job import run_extraction
+    from ocr_pipeline_spark.sources.pdf import pdf_to_pages_df
+
+    n = min(max(100, int(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * 40_000)), 2000)
+    docs = generate_pdfs_df(spark, n, seed=42)
+    pages = pdf_to_pages_df(docs)
+    extracted = run_extraction(spark, pages, describe=True, co_locate_hosts=False)
+    return (
+        assemble_documents(extracted)
+        .select("doc_key", "n_pages", "n_chars")
+        .orderBy("doc_key")
+    )
+
+
 def _q_dup_components_host(spark, sf_dir):
     """Near-dup clusters: the oracled within-host Jaccard pairs form the
     edge set; min-label propagation finds components (the canonical-doc
@@ -757,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_host": _q_jaccard_pairs_host,
         "lang_pred": _q_lang_pred,
         "dup_components_host": _q_dup_components_host,
+        "extract_pdf_documents": _q_extract_pdf_documents,
     }
 
 

@@ -221,6 +221,61 @@ def pdf_pages_kernel(bin_col: str = "payload", out_col: str = "pages"):
     return kernel
 
 
+def pdf_to_pages_df(
+    df: DataFrame,
+    bin_col: str = "payload",
+    url_col: str = "url",
+    lang: str = "und",
+    warc_ts: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """documents(url, payload) -> the standard pages(url, warc_ts, html,
+    lang) table, one row per PDF page.
+
+    Each page's text becomes a minimal html body (one <p> per line,
+    entities escaped) and page urls follow the /page-N convention, so
+    the SAME extraction kernel, cleaning chain, and document assembly
+    process PDF corpora and html corpora identically — the graft's
+    layout-parse path for PDF payloads (ref: stage2_ocr.py renders
+    pages to images for OCR; here the structural text IS the page).
+    One Arrow pass fuses split + text extraction + wrapping; explode()
+    stays narrow."""
+    import html as _html
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, pages_col = [], []
+            for url, data in zip(pdf[url_col], pdf[bin_col]):
+                arr = []
+                for p in split_pdf_pages(data):
+                    text = page_text(p["content"])
+                    body = "".join(
+                        f"<p>{_html.escape(line)}</p>"
+                        for line in text.split("\n")
+                        if line.strip()
+                    )
+                    arr.append(
+                        {
+                            "page_num": p["page_num"],
+                            "html": f"<html><body><main>{body}</main></body></html>",
+                        }
+                    )
+                urls.append(url)
+                pages_col.append(arr)
+            yield pd.DataFrame({"url": urls, "pages": pages_col})
+
+    with_pages = df.select(url_col, bin_col).mapInPandas(
+        kernel, schema="url string, pages array<struct<page_num:int,html:string>>"
+    )
+    return with_pages.select(
+        "url", F.explode("pages").alias("page")
+    ).select(
+        F.concat(F.col("url"), F.lit("/page-"), F.col("page.page_num")).alias("url"),
+        F.lit(warc_ts).cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("page.html"), "utf-8").alias("html"),
+        F.lit(lang).alias("lang"),
+    )
+
+
 def explode_pdf_pages(
     df: DataFrame, bin_col: str = "payload", keep_cols: tuple[str, ...] = ("url",)
 ) -> DataFrame:

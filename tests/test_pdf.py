@@ -100,3 +100,51 @@ def test_pdf_query_entry(spark):
     assert all(r.text for r in rows if r.n_bytes > 0)
     first = rows[0]
     assert first.page_num == 1
+
+
+# --- full pipeline integration ----------------------------------------------
+def test_pdf_to_pages_flows_through_extraction_and_assembly(spark):
+    """PDF payloads must ride the SAME kernel + assembly as html pages:
+    per-page markdown byte-equals extract_page on the wrapped html, and
+    assembly recovers one document per PDF with the generator's page
+    count."""
+    from ocr_pipeline_spark.kernel.page import extract_page, page_num_from_url
+    from ocr_pipeline_spark.operators.assembly_op import assemble_documents
+    from ocr_pipeline_spark.plans.job import run_extraction
+    from ocr_pipeline_spark.sources.pdf import pdf_to_pages_df
+
+    n = 20
+    docs = generate_pdfs_df(spark, n, seed=42)
+    pages = pdf_to_pages_df(docs)
+    extracted = run_extraction(spark, pages, describe=True, co_locate_hosts=False)
+    rows = extracted.collect()
+    page_inputs = {r.url: bytes(r.html) for r in pages.collect()}
+    assert len(rows) == len(page_inputs)
+    for r in rows:
+        expect = extract_page(
+            page_inputs[r.url], page_num_from_url(r.url), describe=True
+        ).markdown
+        assert r.markdown == expect, r.url
+
+    assembled = {r.doc_key: r for r in assemble_documents(extracted).collect()}
+    expected_pages = {doc_pdf(42, i)[0]: doc_pdf(42, i)[2] for i in range(n)}
+    assert {k: v.n_pages for k, v in assembled.items()} == expected_pages
+    # a multi-page doc's markdown carries both page headers and real text
+    multi = next(url for url, np_ in expected_pages.items() if np_ >= 2)
+    md = assembled[multi].markdown
+    assert "<!-- Page 1 |" in md and "<!-- Page 2 |" in md
+    from ocr_pipeline_spark.sources.pdf import page_text, split_pdf_pages
+
+    first_line = page_text(
+        split_pdf_pages(doc_pdf(42, int(multi.split("doc")[1].split(".")[0]))[1])[0]["content"]
+    ).split("\n")[0]
+    assert first_line in md
+
+
+def test_pdf_documents_query_entry(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["extract_pdf_documents"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 100
+    assert all(r.n_pages >= 1 and r.n_chars > 0 for r in rows)
