@@ -684,6 +684,35 @@ def _q_jaccard_pairs_host(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _q_dedup_canonical_docs(spark, sf_dir):
+    """The keep-side of component dedup: one canonical doc per
+    within-host near-dup cluster (min id) plus all unimplicated docs."""
+    from ocr_pipeline_spark.operators.components import dedup_canonical
+    from ocr_pipeline_spark.operators.text_ops import blocked_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = blocked_jaccard_pairs(
+        d, "doc_id", "text", "source", threshold_num=3, threshold_den=5
+    )
+    return (
+        dedup_canonical(d, "doc_id", pairs)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _q_daily_active_users(spark, sf_dir):
+    """Exact count-distinct per day (the expensive-but-oracled twin of
+    approx_count_distinct — the HLL variant is tolerance-tested against
+    this in tests/test_entry_contract.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("day")
+    )
+
+
 def _q_extract_pdf_documents(spark, sf_dir):
     """Full PDF pipeline: binary payloads -> page split -> the SAME
     extraction kernel + cleaning + per-document assembly as html pages
@@ -779,6 +808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pred": _q_lang_pred,
         "dup_components_host": _q_dup_components_host,
         "extract_pdf_documents": _q_extract_pdf_documents,
+        "dedup_canonical_docs": _q_dedup_canonical_docs,
+        "daily_active_users": _q_daily_active_users,
     }
 
 
@@ -1164,6 +1195,45 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "lang_pred": _lang_pred_oracle_sql(),
+        "dedup_canonical_docs": """
+            WITH RECURSIVE grams AS (
+                SELECT doc_id, source,
+                       list(DISTINCT substring(text, i, 3)) AS gs
+                FROM (SELECT doc_id, source, text,
+                             unnest(generate_series(
+                                 1, greatest(length(text) - 2, 1))) AS i
+                      FROM documents)
+                GROUP BY doc_id, source
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM grams a JOIN grams b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE 5 * len(list_intersect(a.gs, b.gs))
+                      >= 3 * (len(a.gs) + len(b.gs)
+                              - len(list_intersect(a.gs, b.gs)))
+            ), e AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(id, r) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+            ), losers AS (
+                SELECT id FROM reach GROUP BY id HAVING id != min(r)
+            )
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM losers)
+            ORDER BY doc_id
+        """,
+        "daily_active_users": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY day
+            ORDER BY day
+        """,
         "dup_components_host": """
             WITH RECURSIVE grams AS (
                 SELECT doc_id, source,

@@ -158,6 +158,27 @@ def test_near_dup_verified_consistent_with_exact_oracle(spark):
             assert (a, b) in exact, (a, b, j)
 
 
+def test_approx_distinct_within_tolerance_of_exact(spark):
+    """approx_count_distinct (HLL) is the scale path for reach-style
+    metrics; its error must stay inside the configured rsd against the
+    oracled exact query."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    approx = {
+        r.day: r.n
+        for r in ev.groupBy(day)
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
+    }
+    exact = {r.day: r.n_users for r in
+             entry_mod.queries()["daily_active_users"](spark, SF_DIR).collect()}
+    assert approx.keys() == exact.keys()
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(3, 0.06 * n), (d, approx[d], n)
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     n = df.count()
