@@ -684,6 +684,98 @@ def _q_jaccard_pairs_host(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _q_train_test_split(spark, sf_dir):
+    """Deterministic hash-based train/test split — the standard
+    content-addressed split (never random(): reproducible across runs,
+    clusters, and engines).  Bucket = first two md5 hex digits of the
+    doc id -> 0..255 -> % 100; <90 trains.  Pure JVM expressions."""
+    d = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    digit = lambda i: F.expr(  # noqa: E731
+        f"locate(substring(md5(cast(doc_id as string)), {i}, 1), "
+        f"'0123456789abcdef') - 1"
+    )
+    bucket = (digit(1) * 16 + digit(2)) % 100
+    return (
+        d.withColumn(
+            "split", F.when(bucket < 90, F.lit("train")).otherwise("test")
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing for training batches: within each shard
+    (hash of doc id — packing is per-shard so the window never needs a
+    global sort at corpus scale), docs in id order fill 4096-token bins;
+    a doc starts the bin its running prefix lands in.  Window cumsum +
+    integer division, all JVM."""
+    d = _t(spark, sf_dir, "documents")
+    from ocr_pipeline_spark.operators.text_ops import token_count
+
+    budget = 4096
+    toks = d.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(16)).alias("shard"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget),
+    )
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+def _q_doc_chunks(spark, sf_dir):
+    """Fixed-size chunking with overlap (context-window prep): one
+    sequence() + explode per doc — narrow, no shuffle; chunk content
+    witnessed by md5 so the oracle proves byte-equal chunking."""
+    d = _t(spark, sf_dir, "documents")
+    size, overlap = 2000, 200
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.col("n_chars") / F.lit(size))
+    ).cast("int")
+    chunked = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * size).alias("chunk_start"),
+        F.least(
+            F.lit(size + overlap), F.col("n_chars") - F.col("chunk_id") * size
+        ).alias("chunk_len"),
+    )
+    with_text = chunked.join(d.select("doc_id", "text"), "doc_id")
+    return with_text.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        "chunk_len",
+        F.md5(
+            F.encode(
+                F.expr("substring(text, chunk_start + 1, chunk_len)"), "UTF-8"
+            )
+        ).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 def _q_dedup_canonical_docs(spark, sf_dir):
     """The keep-side of component dedup: one canonical doc per
     within-host near-dup cluster (min id) plus all unimplicated docs."""
@@ -810,6 +902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_documents": _q_extract_pdf_documents,
         "dedup_canonical_docs": _q_dedup_canonical_docs,
         "daily_active_users": _q_daily_active_users,
+        "train_test_split": _q_train_test_split,
+        "pack_sequences": _q_pack_sequences,
+        "doc_chunks": _q_doc_chunks,
     }
 
 
@@ -1233,6 +1328,56 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY day
             ORDER BY day
+        """,
+        "train_test_split": """
+            WITH b AS (
+                SELECT n_chars,
+                       ((strpos('0123456789abcdef',
+                                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                         - 1) * 16
+                        + strpos('0123456789abcdef',
+                                 substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))
+                        - 1) % 100 AS bucket
+                FROM documents
+            )
+            SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM b GROUP BY split ORDER BY split
+        """,
+        "pack_sequences": """
+            WITH toks AS (
+                SELECT doc_id, doc_id % 16 AS shard,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), binned AS (
+                SELECT shard, n_tokens,
+                       CAST(floor((sum(n_tokens) OVER (
+                                       PARTITION BY shard ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) - n_tokens)
+                                  / 4096) AS BIGINT) AS bin
+                FROM toks
+            )
+            SELECT shard, bin, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+            FROM binned GROUP BY shard, bin ORDER BY shard, bin
+        """,
+        "doc_chunks": """
+            SELECT doc_id, chunk_id,
+                   chunk_id * 2000 AS chunk_start,
+                   least(2200, n_chars - chunk_id * 2000) AS chunk_len,
+                   md5(substring(text, chunk_id * 2000 + 1,
+                                 least(2200, n_chars - chunk_id * 2000)))
+                       AS chunk_md5
+            FROM (SELECT doc_id, text, n_chars,
+                         unnest(generate_series(
+                             0, CAST(greatest(1, ceil(n_chars / 2000.0))
+                                     AS BIGINT) - 1)) AS chunk_id
+                  FROM documents)
+            ORDER BY doc_id, chunk_id
         """,
         "dup_components_host": """
             WITH RECURSIVE grams AS (

@@ -136,7 +136,8 @@ def main() -> None:
             "pdf_page_explode", "lang_pred", "shipping_priority",
             "promo_revenue", "priority_returned_orders",
             "top_orders_per_segment", "jaccard_pairs_host",
-            "dup_components_host",
+            "dup_components_host", "train_test_split", "pack_sequences",
+            "doc_chunks", "daily_active_users", "extract_pdf_documents",
         ]
         qs = entry_mod.queries()
         for name in bench_queries:
