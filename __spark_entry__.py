@@ -579,7 +579,8 @@ def _q_assemble_documents(spark, sf_dir):
 
     n = max(500, int(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * 200_000))
     pages = generate_pages_df(spark, min(n, 4000), seed=42)
-    extracted = run_extraction(spark, pages, describe=True)
+    # no host co-location: assembly's own doc_key shuffle is the grouping
+    extracted = run_extraction(spark, pages, describe=True, co_locate_hosts=False)
     return (
         assemble_documents(extracted)
         .select("doc_key", "n_pages", "n_figures", "n_chars")
@@ -592,7 +593,8 @@ def _q_extract_documents(spark, sf_dir):
     from ocr_pipeline_spark.plans.job import run_extraction
 
     pages = documents_as_pages_df(_t(spark, sf_dir, "documents"))
-    out = run_extraction(spark, pages, describe=True)
+    # per-row output, no host-grouped consumer -> map-only plan
+    out = run_extraction(spark, pages, describe=True, co_locate_hosts=False)
     return out.select(
         "url",
         F.col("classification.type").alias("page_type"),
