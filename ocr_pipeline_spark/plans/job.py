@@ -211,6 +211,7 @@ def run_pipeline(
     num_partitions: int | None = None,
     salt: int = 8,
     co_locate_hosts: bool = True,
+    co_locate_stage: str = "post",
     max_chunks: int | None = None,
 ) -> dict:
     """The resumable end-to-end job (SURVEY.md §3.4).
@@ -261,6 +262,7 @@ def run_pipeline(
                 spark, pages_chunk, describe=describe, mode=mode,
                 num_partitions=num_partitions, salt=salt,
                 co_locate_hosts=co_locate_hosts,
+                co_locate_stage=co_locate_stage,
                 counters=counters if mode == "fused" else None,
             ),
             n_buckets,

@@ -45,6 +45,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     )
     p.add_argument("--no-co-locate", action="store_true")
     p.add_argument(
+        "--co-locate-stage", choices=("pre", "post"), default="post",
+        help="where the salted host exchange sits: 'post' (default) "
+        "shuffles markdown-sized extracted rows; 'pre' shuffles raw "
+        "pages (for inputs whose scans expose too few splits)",
+    )
+    p.add_argument(
         "--synthetic", type=int, default=None,
         help="generate N synthetic pages instead of reading --input",
     )
@@ -110,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
         chunk_size=args.chunk_size,
         salt=args.salt,
         co_locate_hosts=not args.no_co_locate,
+        co_locate_stage=args.co_locate_stage,
     )
     print(json.dumps(summary))
     return 0

@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the scale claims in docs/DESIGN.md
+("never a cross join", "one shuffle", "filters reach the scan") are
+asserted here so a plan regression fails CI, not a 100 TB run.
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# every query whose scale path must never degenerate into an all-pairs
+# physical join; embedding_near_dup is EXCLUDED on purpose — it is the
+# documented quadratic oracle baseline (broadcast nested-loop by design)
+_NO_CROSS_QUERIES = [
+    "minhash_dup_pairs",
+    "near_dup_verified",
+    "fingerprint_overlap",
+    "embedding_near_dup_lsh",
+    "jaccard_pairs_host",
+    "dup_components_host",
+    "ann_lsh",
+    "ann_ivf",
+    # embedding_knn excluded: its BNLJ is a ONE-ROW broadcast (attaching
+    # the query vector to every row) — O(n), not all-pairs
+    "shipping_priority",
+    "promo_revenue",
+    "priority_returned_orders",
+    "pack_sequences",
+    "doc_chunks",
+]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", _NO_CROSS_QUERIES)
+def test_no_allpairs_join_in_scale_path(spark, name):
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_quadratic_baseline_is_the_only_bnlj(spark):
+    """embedding_near_dup (the exact oracle twin) is allowed to be a
+    broadcast nested-loop — pin that so the exception stays deliberate."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["embedding_near_dup"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_extraction_filter_pushdown_reaches_scan(spark, tmp_path):
+    """A filter on the pages table must appear as a parquet PushedFilters
+    entry, and the scan schema must exclude the wide text column."""
+    from ocr_pipeline_spark.fixtures.gen_pages import generate_pages_df
+    from ocr_pipeline_spark.plans.job import run_extraction
+
+    d = str(tmp_path / "pages")
+    generate_pages_df(spark, 50, 42).write.parquet(d)
+    pages = spark.read.parquet(d).filter("lang = 'en'")
+    plan = _plan(run_extraction(spark, pages, describe=True))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "text" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_lsh_near_dup_single_exchange(spark):
+    """cosine_near_dup_lsh = signatures (narrow) -> ONE exchange on
+    (table, sig) -> in-bucket GEMM -> distinct's exchange. No more."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["embedding_near_dup_lsh"](spark, SF_DIR))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan[:2000]}"
