@@ -126,3 +126,62 @@ def test_tokenizer_equivalence_property(html):
     assert rendered(dom._parse_html_fast(html)) == rendered(
         dom._parse_html_stdlib(html)
     )
+
+
+# --- codec-free decoders: round-trip properties ------------------------------
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 10),
+    st.sampled_from([1, 3, 4]),
+    st.lists(st.integers(0, 4), min_size=12, max_size=12),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_decode_roundtrip_property(h, w, nch, filters, seed):
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.multimodal import decode_png
+    from tests.test_ops import _make_png
+
+    arr = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, nch), dtype=np.uint8
+    )
+    png = _make_png(arr, filters=filters[:h])
+    assert np.array_equal(decode_png(png), arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x2FF
+            ),
+            min_size=0, max_size=120,
+        ),
+        min_size=1, max_size=5,
+    ),
+    st.booleans(),
+)
+def test_pdf_split_text_roundtrip_property(texts, compress):
+    from ocr_pipeline_spark.fixtures.gen_pdfs import build_pdf
+    from ocr_pipeline_spark.sources.pdf import page_text, split_pdf_pages
+
+    # the builder emits one text op per LINE; normalize like it does
+    normd = ["\n".join(l for l in t.split("\n")) for t in texts]
+    pdf = build_pdf(normd, compress=compress)
+    pages = split_pdf_pages(pdf)
+    assert [p["page_num"] for p in pages] == list(range(1, len(texts) + 1))
+    for text, page in zip(normd, pages):
+        # extractor joins non-empty show strings with \n
+        expect = "\n".join(l for l in text.split("\n") if l != "")
+        assert page_text(page["content"]) == expect
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_pdf_split_never_crashes_on_garbage(data):
+    from ocr_pipeline_spark.sources.pdf import page_text, split_pdf_pages
+
+    for page in split_pdf_pages(b"%PDF-" + data):
+        page_text(page["content"])
+    split_pdf_pages(data)
