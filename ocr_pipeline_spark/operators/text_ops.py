@@ -439,19 +439,32 @@ def blocked_jaccard_pairs(
             {t[i : i + n] for i in range(max(len(t) - n + 1, 0))} or {t}
             for t in ((x or "") for x in pdf["_text"])
         ]
-        out_a, out_b, out_i, out_u = [], [], [], []
-        for i in range(m):
-            gi = grams[i]
-            for j in range(i + 1, m):
-                inter = len(gi & grams[j])
-                union = len(gi) + len(grams[j]) - inter
-                if threshold_den * inter >= threshold_num * union:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_i.append(inter)
-                    out_u.append(union)
+        # ONE boolean gram-matrix product per block instead of m^2/2
+        # Python set intersections: M (docs x vocab) 0/1 float32, then
+        # inter = M @ M.T — counts are exact integers in float32 up to
+        # 2^24 (a doc has far fewer grams than that).  BLAS turns the
+        # block's whole pair grid into a single GEMM.
+        vocab: dict[str, int] = {}
+        for gs in grams:
+            for g in gs:
+                if g not in vocab:
+                    vocab[g] = len(vocab)
+        M = _np.zeros((m, len(vocab)), dtype=_np.float32)
+        for i, gs in enumerate(grams):
+            M[i, [vocab[g] for g in gs]] = 1.0
+        inter = _np.rint(M @ M.T).astype(_np.int64)
+        sizes = inter.diagonal()
+        ia, ib = _np.triu_indices(m, k=1)
+        n_inter = inter[ia, ib]
+        n_union = sizes[ia] + sizes[ib] - n_inter
+        keep = threshold_den * n_inter >= threshold_num * n_union
         return pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b, "n_inter": out_i, "n_union": out_u}
+            {
+                "id_a": ids[ia[keep]].astype("int64"),
+                "id_b": ids[ib[keep]].astype("int64"),
+                "n_inter": n_inter[keep],
+                "n_union": n_union[keep],
+            }
         )
 
     return base.groupBy("_blk").applyInPandas(
