@@ -14,12 +14,25 @@ oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
+
+
+def _pack_n_shards() -> int:
+    """Shard count for pack_sequences — ∝ parallelism, not a constant:
+    packing parallelism is bounded by the shard count, so at corpus
+    scale it must scale with the cluster.  Env-pinned so the Spark
+    query and the DuckDB oracle (both generated in this process)
+    always agree."""
+    env = os.environ.get("SPARK_GRAFT_PACK_SHARDS")
+    if env:
+        return int(env)
+    return max(16, int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 16))))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -711,19 +724,22 @@ def _q_train_test_split(spark, sf_dir):
     )
 
 
-def _q_pack_sequences(spark, sf_dir):
+def _q_pack_sequences(spark, sf_dir, n_shards: int | None = None):
     """Greedy sequence packing for training batches: within each shard
     (hash of doc id — packing is per-shard so the window never needs a
     global sort at corpus scale), docs in id order fill 4096-token bins;
     a doc starts the bin its running prefix lands in.  Window cumsum +
-    integer division, all JVM."""
+    integer division, all JVM.  Shard count defaults to
+    _pack_n_shards() (∝ parallelism) — the per-shard window sort is
+    the parallelism ceiling, so it must grow with the cluster."""
     d = _t(spark, sf_dir, "documents")
     from ocr_pipeline_spark.operators.text_ops import token_count
 
     budget = 4096
+    n_shards = n_shards or _pack_n_shards()
     toks = d.select(
         "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(16)).alias("shard"),
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard"),
         token_count(F.col("text")).alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
@@ -950,6 +966,66 @@ def _lang_pred_oracle_sql() -> str:
         LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
         ORDER BY d.doc_id
     """
+
+
+# DuckDB replica of text_ops.winnow_fingerprints (Karp-Rabin polynomial
+# k-gram hashes mod 2^64 over HUGEINT + window-min winnowing, k=8 w=16):
+# ends in a `fps(doc_id, fp)` CTE — the per-doc winnowed fingerprint set,
+# bit-identical to the Arrow kernel (verified exhaustively at sf0.01 plus
+# empty/short-text edge cases).  Shared by the doc_fingerprints and
+# fingerprint_overlap oracles.
+_WINNOW_FPS_SQL = r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents
+    ), pows(e, v) AS (
+        VALUES (0, 1::HUGEINT), (1, 257::HUGEINT), (2, 66049::HUGEINT),
+               (3, 16974593::HUGEINT), (4, 4362470401::HUGEINT),
+               (5, 1121154893057::HUGEINT), (6, 288136807515649::HUGEINT),
+               (7, 74051159531521793::HUGEINT)
+    ), codes AS (
+        SELECT doc_id, i,
+               unicode(substring(t, CAST(i AS INT), 1))::HUGEINT AS c,
+               length(t) AS n
+        FROM norm,
+             LATERAL unnest(generate_series(1::BIGINT, length(t)::BIGINT)) AS u(i)
+        WHERE length(t) > 0
+    ), khash AS (
+        -- poly hash of every char 8-gram: cross each char with the 8
+        -- weights, group by window start (uint64 wraparound via one
+        -- final mod — mod is a ring hom, so it equals numpy's per-step
+        -- wraparound)
+        SELECT doc_id, i - (7 - e) AS start,
+               sum(c * v) % 18446744073709551616::HUGEINT AS h
+        FROM codes JOIN pows ON true
+        GROUP BY doc_id, i - (7 - e)
+        HAVING count(*) = 8 AND (i - (7 - e)) >= 1
+    ), shorthash AS (
+        -- docs shorter than k: one poly hash over all chars
+        SELECT doc_id, 1 AS start,
+               sum(c * v) % 18446744073709551616::HUGEINT AS h
+        FROM codes JOIN pows ON pows.e = codes.n - codes.i
+        WHERE n < 8
+        GROUP BY doc_id
+    ), allhash AS (
+        SELECT doc_id, start, h FROM khash
+        UNION ALL SELECT doc_id, start, h FROM shorthash
+    ), sized AS (
+        SELECT doc_id, h,
+               count(*) OVER (PARTITION BY doc_id) AS m,
+               row_number() OVER (PARTITION BY doc_id ORDER BY start) AS rn,
+               min(h) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS winmin
+        FROM allhash
+    ), fps AS (
+        SELECT DISTINCT doc_id, CAST(winmin // 2 AS BIGINT) AS fp
+        FROM sized WHERE m > 16 AND rn >= 16
+        UNION
+        SELECT doc_id, CAST(min(h) // 2 AS BIGINT) AS fp
+        FROM sized WHERE m <= 16 GROUP BY doc_id
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1347,9 +1423,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM b GROUP BY split ORDER BY split
         """,
-        "pack_sequences": """
+        "pack_sequences": f"""
             WITH toks AS (
-                SELECT doc_id, doc_id % 16 AS shard,
+                SELECT doc_id, doc_id % {_pack_n_shards()} AS shard,
                        CASE WHEN length(trim(text)) = 0 THEN 0
                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                        END AS n_tokens
@@ -1409,8 +1485,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(r) AS component
             FROM reach GROUP BY id ORDER BY doc_id
         """,
+        "doc_fingerprints": _WINNOW_FPS_SQL + """
+            SELECT d.doc_id,
+                   coalesce(count(f.fp), 0) AS n_fps,
+                   coalesce(min(f.fp), 0) AS fp_min
+            FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "fingerprint_overlap": _WINNOW_FPS_SQL + """
+            , buckets AS (
+                SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 64
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                WHERE a.fp IN (SELECT fp FROM buckets)
+            )
+            SELECT id_a, id_b, count(*) AS n_shared
+            FROM pairs GROUP BY id_a, id_b HAVING count(*) >= 3
+            ORDER BY id_a, id_b
+        """,
         # extract_documents / lang_simhash / minhash_dup_pairs / ann_lsh /
-        # ann_ivf / near_dup_verified / doc_fingerprints /
-        # fingerprint_overlap / embedding_near_dup_lsh / pdf_page_explode:
-        # kernel-based, not SQL-expressible -> rows-only driver check.
+        # ann_ivf / near_dup_verified / embedding_near_dup_lsh /
+        # pdf_page_explode: kernel-based, not SQL-expressible ->
+        # rows-only driver check.
     }

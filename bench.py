@@ -140,11 +140,18 @@ def main() -> None:
             "doc_chunks", "daily_active_users", "extract_pdf_documents",
         ]
         qs = entry_mod.queries()
+        # best-of-2 per query, matching the extraction legs: a single JVM
+        # session drifts ~30% front-to-back on this box (BENCH/BASELINE.md),
+        # which manufactured phantom regressions in BENCH_r02. The best run
+        # measures the plan; the worst measures session decay / neighbors.
         for name in bench_queries:
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.agg(F.count("*")).collect()
-            timings[name] = round(time.time() - t0, 3)
+
+            def _timed_query() -> float:
+                t0 = time.time()
+                qs[name](spark, sf_dir).agg(F.count("*")).collect()
+                return time.time() - t0
+
+            timings[name] = round(min(_timed_query() for _ in range(2)), 3)
 
     total = round(sum(timings.values()), 3)
     result = {

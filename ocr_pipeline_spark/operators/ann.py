@@ -213,9 +213,12 @@ def cosine_near_dup_lsh(
     pairs = banded.groupBy("tbl", "sig").applyInPandas(
         verify_bucket, schema=f"id_a {id_ddl}, id_b {id_ddl}, cos_sim double"
     )
-    # same vectors -> bit-identical cos across tables, so a plain
-    # distinct dedupes multi-table hits
-    return pairs.distinct()
+    # Dedup multi-table hits on ids ONLY: BLAS accumulation order can
+    # vary with bucket shape, so the same pair may surface from two
+    # tables with cos_sim values that differ at the 4-dp rounding
+    # boundary — a distinct() over (id_a, id_b, cos_sim) would keep
+    # both.  max() makes the representative deterministic.
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))
 
 
 # =========================================================================

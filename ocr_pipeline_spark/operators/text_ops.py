@@ -222,26 +222,41 @@ def intra_bucket_pairs(
     grouped: DataFrame,
     max_bucket: int = _MAX_BUCKET,
     observation=None,
+    overflow: str = "drop",
 ) -> DataFrame:
     """(id_a < id_b) pair expansion over bucket rows, hot buckets capped.
 
     `grouped` needs an array column `ids` (one row per bucket).  Buckets
-    with more than `max_bucket` members are dropped BEFORE the quadratic
+    with more than `max_bucket` members never pay the quadratic
     expansion: one ubiquitous shingle/fingerprint at 10^12-doc scale is
     a single bucket with millions of ids — a pair explosion (and a
-    collect_list OOM feeder) no shuffle strategy survives.  The recall
-    trade is deliberate and tiny: a feature shared by >max_bucket docs
-    is boilerplate, not near-dup evidence.  Pair count per bucket is
-    hard-bounded at max_bucket*(max_bucket-1)/2.
+    collect_list OOM feeder) no shuffle strategy survives.  What happens
+    to an over-cap bucket is `overflow`:
+
+    - ``"drop"`` (default): emit nothing.  Right for single-feature
+      buckets (one shingle, one winnowing fingerprint): a feature shared
+      by >max_bucket docs is boilerplate, not near-dup evidence.
+    - ``"star"``: emit star edges — min(ids) paired with each other
+      member, m-1 pairs, linear in bucket size.  Right for
+      whole-document band-signature buckets (MinHash LSH): a crawl
+      cluster of >max_bucket mirrors/templated copies shares EVERY band
+      bucket, so dropping would emit zero pairs for exactly the most
+      duplicated content; the star keeps the connected component intact
+      for downstream dedup_canonical without quadratic blowup.
+
+    Pair count per bucket is hard-bounded at max(max_bucket*(max_bucket
+    -1)/2, n-1).
 
     Pass a pyspark.sql.Observation as `observation` to get
-    (total_buckets, dropped_buckets) metrics reported with the first
-    action that consumes the result — the drop count is the operator's
+    (total_buckets, overflow_buckets) metrics reported with the first
+    action that consumes the result — the count is the operator's
     audit trail.  Caveat: if the downstream result is completely empty,
     AQE's empty-relation propagation can elide the CollectMetrics node
     and Observation.get will fail — read the metrics only on non-empty
     results (at corpus scale the pair set is never empty).
     """
+    if overflow not in ("drop", "star"):
+        raise ValueError(f"overflow must be 'drop' or 'star', got {overflow!r}")
     sized = grouped.withColumn("_n", F.size("ids"))
     if observation is not None:
         sized = sized.observe(
@@ -249,14 +264,22 @@ def intra_bucket_pairs(
             F.count(F.lit(1)).alias("total_buckets"),
             F.count(F.when(F.col("_n") > max_bucket, 1)).alias("dropped_buckets"),
         )
-    kept = sized.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
-    return kept.select(
+    full = sized.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)).select(
         F.explode(
             F.expr(
                 "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"
             )
         ).alias("p")
     ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    if overflow == "drop":
+        return full
+    star = sized.filter(F.col("_n") > max_bucket).select(
+        F.array_min("ids").alias("id_a"),
+        F.explode(
+            F.expr("filter(ids, x -> x > array_min(ids))")
+        ).alias("id_b"),
+    )
+    return full.unionByName(star)
 
 
 def lsh_candidate_pairs(
@@ -270,9 +293,13 @@ def lsh_candidate_pairs(
 
     Scale path: explode signatures into (band, band_hash) buckets,
     group by bucket, emit intra-bucket pairs — the shuffle is on band
-    hashes, never a cross join; hot buckets (> max_bucket ids) are
-    dropped before pair expansion (see intra_bucket_pairs).  Output:
-    (id_a, id_b) with id_a < id_b, distinct.
+    hashes, never a cross join; hot buckets (> max_bucket ids) degrade
+    to linear star edges instead of the quadratic expansion (see
+    intra_bucket_pairs overflow="star": band signatures are
+    whole-document features, so a >max_bucket bucket is a mirror/
+    template cluster whose component must stay connected, not
+    boilerplate to drop).  Output: (id_a, id_b) with id_a < id_b,
+    distinct.
     """
     rows_per_band = _N_PERM // _N_BANDS
     banded = df.select(
@@ -297,7 +324,9 @@ def lsh_candidate_pairs(
     grouped = banded.groupBy("band", "band_hash").agg(
         F.collect_list(id_col).alias("ids")
     )
-    return intra_bucket_pairs(grouped, max_bucket, observation).distinct()
+    return intra_bucket_pairs(
+        grouped, max_bucket, observation, overflow="star"
+    ).distinct()
 
 
 # =========================================================================
@@ -404,6 +433,7 @@ def blocked_jaccard_pairs(
     threshold_den: int = 5,
     n: int = 3,
     max_block: int = 512,
+    observation=None,
 ) -> DataFrame:
     """EXACT char-n-gram Jaccard pairs within a blocking key (host/source
     — the standard blocked-dedup pattern: near-dups overwhelmingly live
@@ -417,12 +447,42 @@ def blocked_jaccard_pairs(
     (that's what blocking means); blocks larger than `max_block` docs
     are skipped — at corpus scale a mega-host needs the MinHash-LSH
     path (verified_near_dups), not exact all-pairs.
+
+    Pass a pyspark.sql.Observation as `observation` for the skip's
+    audit trail — (total_blocks, skipped_blocks), mirroring
+    intra_bucket_pairs: a host crossing max_block between runs changes
+    the output, and that change must be visible, never silent.  The
+    opt-in path adds two window counts over the SAME block-key
+    partitioning the pair stage already shuffles on (no extra
+    exchange).  Same AQE empty-result caveat as intra_bucket_pairs.
     """
     base = df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(block_col).alias("_blk"),
         F.col(text_col).alias("_text"),
     )
+    if observation is not None:
+        from pyspark.sql import Window
+
+        w_blk = Window.partitionBy("_blk")
+        base = (
+            base.withColumn(
+                "_rn", F.row_number().over(w_blk.orderBy("_id"))
+            )
+            .withColumn("_bn", F.count("*").over(w_blk))
+            .observe(
+                observation,
+                F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias(
+                    "total_blocks"
+                ),
+                F.sum(
+                    F.when(
+                        (F.col("_rn") == 1) & (F.col("_bn") > max_block), 1
+                    ).otherwise(0)
+                ).alias("skipped_blocks"),
+            )
+            .drop("_rn", "_bn")
+        )
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)

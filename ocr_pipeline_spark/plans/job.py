@@ -78,8 +78,8 @@ def default_session(
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         )
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
-        # observability default: UI on unless benchmarking (SPARK_GRAFT_UI=0);
-        # `extra` still overrides either way
+        # UI is opt-in (SPARK_GRAFT_UI=1): off by default so bench runs
+        # and tests don't pay the UI server; `extra` overrides either way
         .config(
             "spark.ui.enabled",
             "true" if os.environ.get("SPARK_GRAFT_UI", "0") == "1" else "false",

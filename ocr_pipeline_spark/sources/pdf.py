@@ -133,6 +133,13 @@ def split_pdf_pages(data: bytes | None) -> list[dict]:
         ]
         doc.close()
         return out
+    return _split_structural(data)
+
+
+def _split_structural(data: bytes) -> list[dict]:
+    """The codec-free structural splitter: object scan → page-tree
+    order → /Contents dereference → Flate inflate.  content = the
+    page's decompressed content stream(s)."""
     objects = _object_map(data)
     page_ids = [
         num for num, body in objects.items()
@@ -152,6 +159,34 @@ def split_pdf_pages(data: bytes | None) -> list[dict]:
             )
         out.append({"page_num": i + 1, "content": content})
     return out
+
+
+def split_pdf_pages_text(data: bytes | None) -> list[dict]:
+    """binary PDF -> [{"page_num": i, "text": str}], 1-based — the TEXT
+    pipeline's splitter.
+
+    Unlike split_pdf_pages (whose `content` is environment-dependent:
+    rendered-PNG bytes under PyMuPDF, raw content streams without),
+    this always yields page TEXT, so pdf_to_pages_df produces the same
+    shape of output in both environments instead of silently feeding
+    PNG bytes to the content-stream text extractor on a real cluster
+    (round-2 ADVICE item).  Under PyMuPDF the text is page.get_text()
+    (real glyph placement); without codecs it is page_text() over the
+    structural content streams."""
+    if not data or data[:5] != b"%PDF-":
+        return []
+    if _HAVE_MUPDF:  # pragma: no cover - real-cluster path
+        doc = _fitz.open(stream=data, filetype="pdf")
+        out = [
+            {"page_num": i + 1, "text": page.get_text()}
+            for i, page in enumerate(doc)
+        ]
+        doc.close()
+        return out
+    return [
+        {"page_num": p["page_num"], "text": page_text(p["content"])}
+        for p in _split_structural(data)
+    ]
 
 
 _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')")
@@ -246,8 +281,8 @@ def pdf_to_pages_df(
             urls, pages_col = [], []
             for url, data in zip(pdf[url_col], pdf[bin_col]):
                 arr = []
-                for p in split_pdf_pages(data):
-                    text = page_text(p["content"])
+                for p in split_pdf_pages_text(data):
+                    text = p["text"]
                     body = "".join(
                         f"<p>{_html.escape(line)}</p>"
                         for line in text.split("\n")

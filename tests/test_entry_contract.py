@@ -179,6 +179,24 @@ def test_approx_distinct_within_tolerance_of_exact(spark):
         assert abs(approx[d] - n) <= max(3, 0.06 * n), (d, approx[d], n)
 
 
+@pytest.mark.parametrize("n_shards", [4, 32])
+def test_pack_sequences_green_at_two_shard_counts(spark, ddb, n_shards, monkeypatch):
+    """r2 VERDICT #6: shard count is a parameter ∝ parallelism, and the
+    Spark query stays hash-identical to the oracle at any value because
+    both derive from the same _pack_n_shards()."""
+    monkeypatch.setenv("SPARK_GRAFT_PACK_SHARDS", str(n_shards))
+    assert entry_mod._pack_n_shards() == n_shards
+    sdf = entry_mod._q_pack_sequences(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = ddb.execute(entry_mod.oracle_sql()["pack_sequences"])
+    duck_rows = res.fetchall()
+    assert len(spark_rows) == len(duck_rows)
+    assert _value_hash(spark_rows, sdf.columns) == _value_hash(
+        duck_rows, [d[0] for d in res.description]
+    )
+    assert max(r[0] for r in spark_rows) == n_shards - 1
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     n = df.count()

@@ -385,6 +385,77 @@ def test_intra_bucket_pairs_cap_and_observation(spark):
     assert obs.get == {"total_buckets": 3, "dropped_buckets": 1}
 
 
+def test_intra_bucket_pairs_star_overflow(spark):
+    """overflow='star': an over-cap bucket degrades to m-1 star edges
+    (min id -> each other member) instead of vanishing — linear output,
+    component stays connected."""
+    from ocr_pipeline_spark.operators.text_ops import intra_bucket_pairs
+
+    rows = [
+        ([10, 11, 12],),                # under cap: full 3 pairs
+        ([list(range(100, 170))][0],),  # 70 ids > cap 64 -> star
+    ]
+    grouped = spark.createDataFrame(rows, "ids array<bigint>")
+    pairs = {(r.id_a, r.id_b) for r in
+             intra_bucket_pairs(grouped, max_bucket=64, overflow="star").collect()}
+    full = {(10, 11), (10, 12), (11, 12)}
+    star = {(100, b) for b in range(101, 170)}
+    assert pairs == full | star
+
+
+def test_lsh_mirror_cluster_survives_hot_bucket(spark):
+    """ADVICE r2: a crawl cluster of >64 near-identical documents shares
+    EVERY band bucket; with drop semantics lsh_candidate_pairs emitted
+    zero pairs for exactly the most duplicated content.  Star overflow
+    must keep the whole cluster in one connected component."""
+    from ocr_pipeline_spark.operators.components import connected_components
+    from ocr_pipeline_spark.operators.text_ops import (
+        lsh_candidate_pairs,
+        minhash_kernel,
+    )
+
+    n = 80  # > _MAX_BUCKET=64
+    body = (
+        "the same templated mirror page served by dozens of hosts with "
+        "identical boilerplate navigation and article body " * 8
+    )
+    rows = [(i, body) for i in range(n)] + [
+        (1000, "an unrelated singleton document about parquet row groups " * 8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = df.mapInPandas(
+        minhash_kernel(), schema="doc_id long, text string, minhash array<bigint>"
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    comp = {
+        r.id: r.comp
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert set(comp) == set(range(n))  # singleton not implicated
+    assert {comp[i] for i in range(n)} == {0}  # one component, min label
+
+
+def test_blocked_jaccard_skipped_blocks_observation(spark):
+    """A block over max_block emits nothing — and the Observation audit
+    trail reports it (r2 VERDICT: no silent caps)."""
+    from pyspark.sql import Observation
+
+    from ocr_pipeline_spark.operators.text_ops import blocked_jaccard_pairs
+
+    text = "shared body text for the mega host fixture documents " * 4
+    rows = [(i, "mega.example", text) for i in range(10)] + [
+        (100, "small.example", text),
+        (101, "small.example", text),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    obs = Observation("blocks")
+    pairs = blocked_jaccard_pairs(
+        df, "doc_id", "text", "source", max_block=8, observation=obs
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(100, 101)}
+    assert obs.get == {"total_blocks": 2, "skipped_blocks": 1}
+
+
 def test_hot_bucket_cap_bounds_fingerprint_pairs(spark):
     """Ubiquitous-boilerplate corpus: every doc shares one big block.
     Without the cap this emits ~n^2/2 pairs from a single fingerprint

@@ -51,6 +51,23 @@ def test_split_tolerates_garbage():
     assert split_pdf_pages(b"%PDF-1.4\n1 0 obj\n<< /Type /Page") == []
 
 
+def test_split_pdf_pages_text_matches_structural_path():
+    """split_pdf_pages_text is the environment-stable TEXT splitter
+    (ADVICE r2: under PyMuPDF split_pdf_pages yields PNG bytes, which
+    must never reach page_text).  In the codec-free environment it must
+    equal page_text over the structural split exactly."""
+    from ocr_pipeline_spark.sources.pdf import split_pdf_pages_text
+
+    pdf = build_pdf(["alpha one\nbeta two", "gamma", "delta\nfour"])
+    assert split_pdf_pages_text(pdf) == [
+        {"page_num": 1, "text": "alpha one\nbeta two"},
+        {"page_num": 2, "text": "gamma"},
+        {"page_num": 3, "text": "delta\nfour"},
+    ]
+    assert split_pdf_pages_text(None) == []
+    assert split_pdf_pages_text(b"<html>not a pdf</html>") == []
+
+
 def test_page_text_escapes_and_tj_arrays():
     content = (
         rb"BT (paren \( and \) ok) Tj "
