@@ -51,6 +51,8 @@ _LINK_DENSITY_MAX = 0.55
 
 _WS_RE = re.compile(r"\s+")
 _BR_SENTINEL = "\ufffe"
+# collapse whitespace-padded <br> sentinels to newlines in one sub
+_BR_COLLAPSE_RE = re.compile(rf"\s*{_BR_SENTINEL}\s*")
 
 # Pathological nesting guard: beyond this element depth the subtree is
 # flattened to plain text instead of walked recursively (Common-Crawl
@@ -109,15 +111,23 @@ def _is_chrome(node: Node) -> bool:
     return False
 
 
-_CONTENT_IDS = frozenset(
-    ("content", "main", "main-content", "maincontent", "article", "post")
-)
+from ocr_pipeline_spark.kernel.dom import _CONTENT_IDS  # noqa: E402
 
 
 def select_main_root(doc: Node) -> Node:
     """Pick the content root: <main> > <article> > role=main > content ids
-    > <body>.  Single pre-order traversal; priority ties broken by
-    document order (first match of the highest available tier wins)."""
+    > <body>.  Priority ties broken by document order (first match of the
+    highest available tier wins).
+
+    The fast tokenizer records the candidates during its single parse
+    pass (doc.hints); stdlib-parsed or hand-built trees fall back to a
+    pre-order traversal with identical semantics."""
+    hints = getattr(doc, "hints", None)
+    if hints is not None:
+        main_node, article, role_main, content_div, body = hints
+        return (
+            main_node or article or role_main or content_div or body or doc
+        )
     article = role_main = content_div = body = None
     stack = [c for c in reversed(doc.children) if c.__class__ is Node]
     while stack:
@@ -203,9 +213,13 @@ class _Renderer:
                 inner, lc = self._inline(child, in_link, depth + 1)
                 link_chars += lc
                 parts.append(inner)
-        text = _WS_RE.sub(" ", "".join(parts))
-        # restore explicit line breaks after whitespace collapsing
-        text = re.sub(rf"\s*{_BR_SENTINEL}\s*", "\n", text).strip()
+        # ' '.join(split()) == _WS_RE.sub(' ', ...) + outer strip, but in
+        # one C pass (both treat the full unicode whitespace set alike);
+        # the sentinel sub runs only when a <br> actually occurred
+        text = " ".join("".join(parts).split())
+        if _BR_SENTINEL in text:
+            # restore explicit line breaks after whitespace collapsing
+            text = _BR_COLLAPSE_RE.sub("\n", text).strip()
         return text, link_chars
 
     def _figure_ref(self, img: Node) -> str:

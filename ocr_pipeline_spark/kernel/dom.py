@@ -20,9 +20,16 @@ from html.parser import HTMLParser
 
 
 class Node:
-    """An element node.  Text nodes are plain ``str`` children."""
+    """An element node.  Text nodes are plain ``str`` children.
 
-    __slots__ = ("tag", "attrs", "children")
+    ``hints`` is set only on the ``#document`` root by the fast
+    tokenizer: the pre-order main-content candidates
+    (main, article, role_main, content_div, body) recorded during the
+    parse so blocks.select_main_root skips its second full traversal.
+    Unset (AttributeError via getattr default) on stdlib-parsed trees.
+    """
+
+    __slots__ = ("tag", "attrs", "children", "hints")
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None):
         self.tag = tag
@@ -229,6 +236,13 @@ _ATTR_TAGS = frozenset(
 # raw-text elements: content is literal until the matching end tag
 _RAW_TEXT = ("script", "style", "textarea", "title")
 
+# container ids that mark the main-content root (Readability-style);
+# shared with blocks.select_main_root so the parse-time hint tracking
+# and the traversal fallback test the identical set
+_CONTENT_IDS = frozenset(
+    ("content", "main", "main-content", "maincontent", "article", "post")
+)
+
 
 def _parse_attrs(raw: str) -> dict[str, str]:
     attrs: dict[str, str] = {}
@@ -247,46 +261,105 @@ def _parse_attrs(raw: str) -> dict[str, str]:
 
 
 def _parse_html_fast(html: str) -> Node:
-    """Regex scanner with the tree-builder's start/end logic inlined.
+    """String-scanner with the tree-builder's start/end logic inlined.
 
     Must mirror _TreeBuilder._handle_start_parsed / handle_endtag /
     _implied_closes exactly — the fast-vs-stdlib equivalence test
     (tests/test_dom_blocks.py) pins the two paths to identical output.
-    Inlining removes ~2 Python calls per tag (~10% of kernel CPU).
+
+    Two tiers (corpus mix: ~46% pure end tags, ~32% attr-less start
+    tags, ~21% quoted-attr tags):
+      * memchr tier — `str.find('<') + find('>')` and a pure-name
+        segment check handle end tags and bare start tags with zero
+        regex work;
+      * regex tier — anything else (attrs, quotes, comments, decls,
+        stray '<') goes through _TAG_RE.search at the found '<', which
+        preserves the scanner's exact boundary semantics (quoted '>',
+        skipped non-tags become text, selfclose group absorbed by the
+        attrs chunk).
     """
     root = Node("#document")
     stack = [root]
     open_p = 0  # count of <p> nodes currently on the stack
     search = _TAG_RE.search
+    find = html.find
     unescape = _html_mod.unescape
     heading_tags = _TreeBuilder._HEADING_TAGS
+    # main-content candidates, recorded in pre-order during the parse
+    # (start-tag emission order == tree pre-order) so select_main_root
+    # needs no second traversal; the logic mirrors its if/elif chain
+    # exactly — equivalence pinned by tests/test_dom_blocks.py
+    main_node = article = role_main = content_div = body = None
     pos = 0
     n = len(html)
     while pos < n:
-        # one search = find-next-'<' + tokenize in a single C call; stray
-        # '<'s that don't form a tag stay inside the preceding text chunk
-        # (same concatenated text as html.parser's chunking)
-        m = search(html, pos)
-        if m is None:
+        lt = find("<", pos)
+        if lt == -1:
             text = html[pos:]
             if "&" in text:
                 text = unescape(text)
             stack[-1].children.append(text)
             break
-        start = m.start()
-        if start > pos:
-            text = html[pos:start]
+        tag = None
+        is_end = False
+        attrs_raw = ""
+        selfclose = ""
+        nxt = html[lt + 1 : lt + 2]
+        if nxt == "/":
+            gt = find(">", lt + 2)
+            if gt != -1:
+                seg = html[lt + 2 : gt]
+                # pure-name end tag: '</div>' — no attrs, ASCII name
+                if (
+                    seg
+                    and seg.isascii()
+                    and seg.isalnum()
+                    and not seg[0].isdigit()
+                ):
+                    tag = seg.lower()
+                    is_end = True
+                    tag_start, tag_end = lt, gt + 1
+        elif nxt and nxt.isascii() and nxt.isalpha():
+            gt = find(">", lt + 1)
+            if gt != -1:
+                seg = html[lt + 1 : gt]
+                # bare start tag: '<p>', '<h1>', '<DIV>' — name only
+                if seg.isascii() and seg.isalnum():
+                    tag = seg.lower()
+                    tag_start, tag_end = lt, gt + 1
+        if tag is None:
+            # regex tier: one search = find-next-tag + tokenize in a
+            # single C call; stray '<'s that don't form a tag stay
+            # inside the preceding text chunk (same concatenated text
+            # as html.parser's chunking)
+            m = search(html, lt)
+            if m is None:
+                text = html[pos:]
+                if "&" in text:
+                    text = unescape(text)
+                stack[-1].children.append(text)
+                break
+            tag_start, tag_end = m.start(), m.end()
+            # groups 5-8: end, name, attrs, selfclose
+            end_g, name, attrs_raw, selfclose = m.group(5, 6, 7, 8)
+            if name is None:
+                # comment/decl/cdata/pi: dropped (but flush text first)
+                if tag_start > pos:
+                    text = html[pos:tag_start]
+                    if "&" in text:
+                        text = unescape(text)
+                    stack[-1].children.append(text)
+                pos = tag_end
+                continue
+            tag = name.lower()
+            is_end = bool(end_g)
+        if tag_start > pos:
+            text = html[pos:tag_start]
             if "&" in text:
                 text = unescape(text)
             stack[-1].children.append(text)
-        pos = m.end()
-        end, name, attrs_raw, selfclose = m.group(
-            "end", "name", "attrs", "selfclose"
-        )
-        if name is None:
-            continue  # comment/decl/cdata/pi: dropped
-        tag = name.lower()
-        if end:
+        pos = tag_end
+        if is_end:
             # -- inlined handle_endtag --
             if tag in VOID_TAGS:
                 continue
@@ -330,6 +403,27 @@ def _parse_html_fast(html: str) -> Node:
                         stack.pop()
                         open_p -= 1
         node = Node(tag, attrs)
+        if main_node is None:
+            if tag == "main":
+                main_node = node
+            else:
+                if tag == "article":
+                    if article is None:
+                        article = node
+                elif attrs:
+                    if (
+                        role_main is None
+                        and attrs.get("role", "").lower() == "main"
+                    ):
+                        role_main = node
+                    elif (
+                        content_div is None
+                        and (tag == "div" or tag == "section")
+                        and attrs.get("id", "").lower() in _CONTENT_IDS
+                    ):
+                        content_div = node
+                if tag == "body" and body is None:
+                    body = node
         stack[-1].children.append(node)
         if selfclose or tag in VOID_TAGS:
             continue
@@ -351,6 +445,7 @@ def _parse_html_fast(html: str) -> Node:
             if raw:
                 stack[-1].children.append(raw)
             stack.pop()  # the raw-text element we just pushed (never <p>)
+    root.hints = (main_node, article, role_main, content_div, body)
     return root
 
 

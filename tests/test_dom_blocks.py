@@ -282,3 +282,36 @@ def test_decode_html_gzip_payload():
     assert "Zipped" in md and "compressed café page." in md
     # corrupt gzip header degrades to as-is bytes, never raises
     assert isinstance(decode_html(b"\x1f\x8b broken"), str)
+
+
+def test_main_root_hints_match_traversal():
+    """The fast tokenizer's parse-time main-root hints must resolve to
+    the same node the pre-order traversal picks, across every priority
+    tier and the elif subtleties (role=main beats content-id; an
+    <article> with attrs is never role-checked)."""
+    cases = [
+        "<body><div id=content><p>c</p></div><main><p>m</p></main>"
+        "<article><p>a</p></article></body>",
+        "<body><article><p>first</p></article><article><p>second</p>"
+        "</article></body>",
+        "<body><div role=main><p>r</p></div><div id=content><p>c</p>"
+        "</div></body>",
+        "<body><section id=CONTENT><p>s</p></section></body>",
+        "<body><div id=post><p>p</p></div></body>",
+        "<body><p>bare body</p></body>",
+        "<p>no body at all</p>",
+        # role=main claimed first: the same node must not double as
+        # content_div; a later content-id div still qualifies
+        "<body><div role=main id=content><p>rm</p></div>"
+        "<div id=main-content><p>cd</p></div></body>",
+        # article carrying attrs: the elif chain skips its role check
+        "<body><article role=main><p>a</p></article></body>",
+        "",
+    ]
+    for html in cases:
+        fast = parse_html(html, tokenizer="fast")
+        assert getattr(fast, "hints", None) is not None
+        hinted = select_main_root(fast)
+        fast.hints = None  # force the traversal on the SAME tree
+        walked = select_main_root(fast)
+        assert hinted is walked, html
