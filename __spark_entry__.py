@@ -811,6 +811,44 @@ def _q_dedup_canonical_docs(spark, sf_dir):
     )
 
 
+def _q_media_features(spark, sf_dir):
+    """Multimodal pixel path (X13) end to end: deterministic binary
+    image payloads (GIF/JPEG/empty/garbage — fixtures/gen_media.py,
+    encoded by the repo's own pure-Python codecs) -> Arrow-batched
+    metadata probe + pixel-decode luminance features
+    (operators/multimodal.py, operators/imagecodecs.py).  Kernel-based
+    (rows-only driver check); decoder correctness is pinned by exact/
+    bounded round-trip + Hypothesis property tests."""
+    from ocr_pipeline_spark.fixtures.gen_media import generate_media_df
+    from ocr_pipeline_spark.operators.multimodal import (
+        IMAGE_META_DDL,
+        image_features_kernel,
+        image_meta_kernel,
+    )
+
+    media = generate_media_df(spark, 200, seed=42)
+    with_meta = media.mapInPandas(
+        image_meta_kernel(),
+        schema=f"media_id long, media binary, image_meta {IMAGE_META_DDL}",
+    )
+    feats = with_meta.mapInPandas(
+        image_features_kernel(dim=8),
+        schema=(
+            f"media_id long, media binary, image_meta {IMAGE_META_DDL}, "
+            "features array<float>"
+        ),
+    )
+    return feats.select(
+        "media_id",
+        F.col("image_meta.format").alias("format"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.round(F.expr("aggregate(features, 0.0D, (s, x) -> s + x)"), 4).alias(
+            "feature_mass"
+        ),
+    ).orderBy("media_id")
+
+
 def _q_daily_active_users(spark, sf_dir):
     """Exact count-distinct per day (the expensive-but-oracled twin of
     approx_count_distinct — the HLL variant is tolerance-tested against
@@ -920,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_documents": _q_extract_pdf_documents,
         "dedup_canonical_docs": _q_dedup_canonical_docs,
         "daily_active_users": _q_daily_active_users,
+        "media_features": _q_media_features,
         "train_test_split": _q_train_test_split,
         "pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,

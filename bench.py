@@ -138,6 +138,7 @@ def main() -> None:
             "top_orders_per_segment", "jaccard_pairs_host",
             "dup_components_host", "train_test_split", "pack_sequences",
             "doc_chunks", "daily_active_users", "extract_pdf_documents",
+            "media_features",
         ]
         qs = entry_mod.queries()
         # best-of-2 per query, matching the extraction legs: a single JVM

