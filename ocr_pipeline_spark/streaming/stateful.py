@@ -13,20 +13,28 @@ and keeps absorbing events on later micro-batches/restarts — the
 streaming twin of the batch query.
 
 Unbounded-stream guarantees (vs the batch twin):
-  * state can be BOUNDED: pass `timeout_factor=N` to arm a
-    processing-time timeout of `N × gap_seconds` that fires for idle
-    users, emitting their open session as closed and evicting the state
-    row — without it, one state entry per ever-seen user lives forever.
-    The timeout is OPT-IN because ProcessingTimeTimeout is incompatible
-    with Trigger.AvailableNow (Spark keeps scheduling no-data batches
-    until pending timeouts fire, so the query never terminates): arm it
-    on continuous `processingTime` deployments, leave it off for
-    availableNow catch-up runs;
+  * state can be BOUNDED, two timeout flavors:
+      - `timeout_factor=N` arms a PROCESSING-TIME timeout of
+        `N × gap_seconds` for idle users — right for continuous
+        `processingTime` deployments where wall clock tracks event
+        time.  OPT-IN because ProcessingTimeTimeout is incompatible
+        with Trigger.AvailableNow (Spark keeps scheduling no-data
+        batches until pending timeouts fire, so the query never
+        terminates);
+      - `event_time_timeout=True` arms an EVENT-TIME timeout at
+        `session_end + gap` against the stream's watermark — the
+        REPLAY-SAFE variant: re-running a historical stream closes
+        sessions exactly where the batch twin does, because eviction
+        follows event time, not the wall clock of the replay.  Works
+        under availableNow (watermark advances with the data and all
+        pending timeouts fire before termination).
   * cross-micro-batch ordering: events are sorted within a micro-batch,
     but an event arriving in a LATER micro-batch with ts < the stored
     last_us would silently extend or mis-split the open session.  Such
     late events are DROPPED (the operator's documented watermark
-    analog).  Run the batch query for exact retroactive sessionization.
+    analog; in event-time mode the real watermark additionally drops
+    them before the operator).  Run the batch query for exact
+    retroactive sessionization.
 """
 
 from __future__ import annotations
@@ -52,8 +60,18 @@ def _to_us(ts: Any) -> int:
     return int(pd.Timestamp(ts).value // 1_000)
 
 
-def make_sessionizer(gap_seconds: int = 1800, timeout_factor: int | None = None):
+def make_sessionizer(
+    gap_seconds: int = 1800,
+    timeout_factor: int | None = None,
+    event_time_timeout: bool = False,
+):
+    if timeout_factor and event_time_timeout:
+        raise ValueError(
+            "timeout_factor (processing-time) and event_time_timeout are "
+            "mutually exclusive"
+        )
     gap_us = gap_seconds * _US
+    gap_ms = gap_seconds * 1000
     timeout_ms = gap_seconds * (timeout_factor or 0) * 1000
 
     def sessionize(
@@ -112,6 +130,13 @@ def make_sessionizer(gap_seconds: int = 1800, timeout_factor: int | None = None)
         state.update((start_us, last_us, n, val))
         if timeout_factor:
             state.setTimeoutDuration(timeout_ms)
+        elif event_time_timeout:
+            # close the open session when the WATERMARK passes its gap
+            # boundary — replay-safe eviction keyed to event time.  The
+            # timestamp must sit above the current watermark (Spark
+            # rejects timeouts already in the past).
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_us // 1000 + gap_ms, wm_ms + 1))
         if closed:
             yield pd.DataFrame(closed)
 
@@ -119,26 +144,41 @@ def make_sessionizer(gap_seconds: int = 1800, timeout_factor: int | None = None)
 
 
 def sessionize_stream(
-    events: DataFrame, gap_seconds: int = 1800, timeout_factor: int | None = None
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    timeout_factor: int | None = None,
+    event_time_timeout: bool = False,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """events stream (event_id, ts, user_id, value, ...) -> closed
     sessions.  Grouped Arrow state; append output mode.
 
     `timeout_factor=N` (continuous deployments only — see module
     docstring) closes out and evicts idle users after N × gap_seconds
-    of processing time, bounding the state store by ACTIVE users."""
+    of processing time, bounding the state store by ACTIVE users.
+
+    `event_time_timeout=True` (replay-safe variant) closes idle
+    sessions when the stream's WATERMARK passes session_end + gap: a
+    replayed historical stream emits exactly the batch twin's sessions,
+    including each user's final one once the watermark clears it.
+    Requires an event-time watermark; `watermark_delay` (default
+    "0 seconds") is applied here on `ts`."""
+    selected = events.select("event_id", "ts", "user_id", "value")
+    timeout_conf = GroupStateTimeout.NoTimeout
+    if event_time_timeout:
+        selected = selected.withWatermark(
+            "ts", watermark_delay or "0 seconds"
+        )
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    elif timeout_factor:
+        timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
     return (
-        events.select("event_id", "ts", "user_id", "value")
-        .groupBy("user_id")
+        selected.groupBy("user_id")
         .applyInPandasWithState(
-            make_sessionizer(gap_seconds, timeout_factor),
+            make_sessionizer(gap_seconds, timeout_factor, event_time_timeout),
             outputStructType=SESSION_OUT_DDL,
             stateStructType=SESSION_STATE_DDL,
             outputMode="append",
-            timeoutConf=(
-                GroupStateTimeout.ProcessingTimeTimeout
-                if timeout_factor
-                else GroupStateTimeout.NoTimeout
-            ),
+            timeoutConf=timeout_conf,
         )
     )

@@ -215,6 +215,43 @@ def test_pipeline_kill_resume(spark, pages, fused_result):
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def test_pipeline_observe_metrics_match_committed(spark, pages, fused_result):
+    """metrics_mode='observe' collects lineage metrics DURING the write
+    (no committed-output re-read) and must produce the same per-bucket
+    metric rows, data files, and resume manifest as the default
+    committed-scan mode."""
+    wh_a = tempfile.mkdtemp(prefix="wh_committed_")
+    wh_b = tempfile.mkdtemp(prefix="wh_observe_")
+    try:
+        a = run_pipeline(spark, pages, wh_a, run_id="rM", n_buckets=8)
+        b = run_pipeline(
+            spark, pages, wh_b, run_id="rM", n_buckets=8,
+            metrics_mode="observe",
+        )
+        assert a["n_docs"] == b["n_docs"] == N_ROWS
+        cat_a, cat_b = ParquetCatalog(spark, wh_a), ParquetCatalog(spark, wh_b)
+        cols = [
+            "pkey", "run_id", "n_docs", "n_bytes", "n_chars_out",
+            "n_empty", "n_figures", "n_described",
+        ]
+        rows_a = {tuple(r) for r in
+                  cat_a.read_metrics("extracted").select(*cols).collect()}
+        rows_b = {tuple(r) for r in
+                  cat_b.read_metrics("extracted").select(*cols).collect()}
+        assert rows_a == rows_b and rows_a
+        # identical committed data + identical manifests
+        out_a = {r.url: r.markdown
+                 for r in cat_a.read("extracted").collect()}
+        out_b = {r.url: r.markdown
+                 for r in cat_b.read("extracted").collect()}
+        assert out_a == out_b == fused_result
+        assert cat_a.completed_buckets("extracted", "rM") == \
+            cat_b.completed_buckets("extracted", "rM")
+    finally:
+        shutil.rmtree(wh_a, ignore_errors=True)
+        shutil.rmtree(wh_b, ignore_errors=True)
+
+
 # --- skew bounding ------------------------------------------------------------
 def test_salted_repartition_bounds_head_host(spark, pages):
     """The Zipf head host must spread over ~salt partitions and no
