@@ -811,6 +811,145 @@ def _q_dedup_canonical_docs(spark, sf_dir):
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher/C4-style repetition signals per document: word count,
+    distinct-word count, top word frequency, top bigram frequency —
+    the standard filters for templated/spammy text.  Integer-exact
+    (counts only, tie-independent).  Scale shape: explode + partial-agg
+    group-bys (map-side combine), never per-doc quadratic HOFs."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    words = ws.select("doc_id", F.explode("ws").alias("w"))
+    top_word = (
+        words.groupBy("doc_id", "w").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_word_count"))
+    )
+    bigrams = ws.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> array_join(slice(ws, i, 2), ' '))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("g"),
+    )
+    top_bigram = (
+        bigrams.groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_bigram_count"))
+    )
+    base = ws.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct_words"),
+    )
+    return (
+        base.join(top_word, "doc_id", "left")
+        .join(top_bigram, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "n_distinct_words",
+            F.coalesce("top_word_count", F.lit(0)).alias("top_word_count"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (training-data hygiene): deterministic
+    synthetic PII is injected per doc_id (emails/IPs/phones), then
+    counted and scrubbed with the same regexes in Spark and DuckDB;
+    the scrubbed text is witnessed by md5 so the oracle proves
+    byte-equal redaction.  All JVM expressions — regexp_count /
+    regexp_replace — no Python."""
+    d = _t(spark, sf_dir, "documents")
+    injected = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.col("text"), F.lit(" server at 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit("."),
+                (F.col("doc_id") % 100).cast("string"), F.lit(" port"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.col("text"), F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_re = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    phone_re = r"\+1-555-\d{4}"
+    with_inj = d.select("doc_id", injected.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email_re, "[EMAIL]"),
+            ip_re, "[IP]",
+        ),
+        phone_re, "[PHONE]",
+    )
+    return with_inj.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(email_re)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(ip_re)).alias("n_ips"),
+        F.regexp_count(F.col("t"), F.lit(phone_re)).alias("n_phones"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+def _q_contamination_check(spark, sf_dir):
+    """Benchmark-contamination detection: documents sharing any word
+    3-gram with the held-out eval set (doc_id % 97 == 0 — the
+    deterministic stand-in for a benchmark suite; real pipelines use
+    8-13-grams on longer docs).  Scale shape: the eval side is small
+    by construction, so the gram join is a BROADCAST hash join — no
+    shuffle of the corpus gram stream."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(F.split("text", " ")) >= 3,
+                    F.expr(
+                        "transform(sequence(1, size(split(text, ' ')) - 2), "
+                        "i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("g").alias("bg"), F.col("doc_id").alias("bid")
+    )
+    hits = grams.join(
+        F.broadcast(bench),
+        (F.col("g") == F.col("bg")) & (F.col("doc_id") != F.col("bid")),
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("bid").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal pixel path (X13) end to end: deterministic binary
     image payloads (GIF/JPEG/empty/garbage — fixtures/gen_media.py,
@@ -959,6 +1098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_docs": _q_dedup_canonical_docs,
         "daily_active_users": _q_daily_active_users,
         "media_features": _q_media_features,
+        "repetition_stats": _q_repetition_stats,
+        "pii_scrub": _q_pii_scrub,
+        "contamination_check": _q_contamination_check,
         "train_test_split": _q_train_test_split,
         "pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
@@ -1523,6 +1665,83 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS component
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "repetition_stats": """
+            WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), words AS (
+                SELECT doc_id, unnest(ws) AS w FROM ws
+            ), topw AS (
+                SELECT doc_id, max(c) AS top_word_count FROM (
+                    SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+                ) GROUP BY doc_id
+            ), bigrams AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+                FROM ws, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 2
+            ), topb AS (
+                SELECT doc_id, max(c) AS top_bigram_count FROM (
+                    SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY doc_id, g
+                ) GROUP BY doc_id
+            )
+            SELECT ws.doc_id,
+                   CAST(len(ws) AS INT) AS n_words,
+                   CAST(len(list_distinct(ws)) AS INT) AS n_distinct_words,
+                   coalesce(topw.top_word_count, 0) AS top_word_count,
+                   coalesce(topb.top_bigram_count, 0) AS top_bigram_count
+            FROM ws
+            LEFT JOIN topw ON ws.doc_id = topw.doc_id
+            LEFT JOIN topb ON ws.doc_id = topb.doc_id
+            ORDER BY ws.doc_id
+        """,
+        "pii_scrub": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN doc_id % 4 = 0 THEN text || ' contact user'
+                              || CAST(doc_id AS VARCHAR) || '@example.com now'
+                         WHEN doc_id % 4 = 1 THEN text || ' server at 10.0.'
+                              || CAST(doc_id % 256 AS VARCHAR) || '.'
+                              || CAST(doc_id % 100 AS VARCHAR) || ' port'
+                         WHEN doc_id % 4 = 2 THEN text || ' call +1-555-'
+                              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                              || ' today'
+                         ELSE text
+                       END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS INT) AS n_ips,
+                   CAST(len(regexp_extract_all(t, '\+1-555-\d{4}'))
+                       AS INT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                       '\+1-555-\d{4}', '[PHONE]', 'g')) AS scrubbed_md5
+            FROM inj ORDER BY doc_id
+        """,
+        "contamination_check": """
+            WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ws[i:i+2], ' ') AS g
+                FROM ws, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)
+                WHERE len(ws) >= 3
+            ), bench AS (
+                SELECT g AS bg, doc_id AS bid FROM grams WHERE doc_id % 97 = 0
+            )
+            SELECT grams.doc_id,
+                   count(DISTINCT g) AS n_shared_grams,
+                   count(DISTINCT bid) AS n_bench_docs
+            FROM grams JOIN bench ON g = bg AND grams.doc_id != bid
+            GROUP BY grams.doc_id ORDER BY grams.doc_id
         """,
         "doc_fingerprints": _WINNOW_FPS_SQL + """
             SELECT d.doc_id,

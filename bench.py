@@ -138,7 +138,8 @@ def main() -> None:
             "top_orders_per_segment", "jaccard_pairs_host",
             "dup_components_host", "train_test_split", "pack_sequences",
             "doc_chunks", "daily_active_users", "extract_pdf_documents",
-            "media_features",
+            "media_features", "repetition_stats", "pii_scrub",
+            "contamination_check",
         ]
         qs = entry_mod.queries()
         # best-of-2 per query, matching the extraction legs: a single JVM
