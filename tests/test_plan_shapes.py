@@ -26,6 +26,8 @@ _NO_CROSS_QUERIES = [
     "priority_returned_orders",
     "pack_sequences",
     "doc_chunks",
+    "repetition_stats",
+    "contamination_check",
 ]
 
 
@@ -73,3 +75,14 @@ def test_lsh_near_dup_single_exchange(spark):
     plan = _plan(entry_mod.queries()["embedding_near_dup_lsh"](spark, SF_DIR))
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan[:2000]}"
+
+
+def test_contamination_gram_join_is_broadcast(spark):
+    """The eval-set side of the contamination gram join is small by
+    construction — the plan must broadcast it, never shuffle the
+    corpus gram stream into a sort-merge join."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["contamination_check"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
