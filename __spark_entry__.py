@@ -954,6 +954,44 @@ def _q_contamination_check(spark, sf_dir):
     )
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column — the
+    standard storage/bandwidth lever for corpus-scale vector search
+    (4x smaller, GEMM-able).  Per vector: scale = 127/max|x|, q =
+    round(x*scale); witnessed by the quantized byte string's md5 plus
+    integer-exact saturation/zero counts, so the oracle proves the
+    exact same int8 codes.  Pure JVM higher-order functions — no UDF,
+    no shuffle (narrow, embarrassingly parallel at any scale)."""
+    e = _t(spark, sf_dir, "embeddings")
+    maxabs = F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"
+    )
+    with_scale = e.select(
+        "vec_id",
+        "embedding",
+        F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0)).alias(
+            "scale"
+        ),
+    )
+    q = F.expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT))"
+    )
+    return with_scale.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.md5(F.concat_ws(",", q)).alias("q_md5"),
+        F.expr(
+            "size(filter(transform(embedding, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * scale) AS INT)), v -> abs(v) = 127))"
+        ).alias("n_saturated"),
+        F.expr(
+            "size(filter(transform(embedding, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * scale) AS INT)), v -> v = 0))"
+        ).alias("n_zero"),
+    ).orderBy("vec_id")
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal pixel path (X13) end to end: deterministic binary
     image payloads (GIF/JPEG/empty/garbage — fixtures/gen_media.py,
@@ -1102,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_docs": _q_dedup_canonical_docs,
         "daily_active_users": _q_daily_active_users,
         "media_features": _q_media_features,
+        "embedding_quantize": _q_embedding_quantize,
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
         "contamination_check": _q_contamination_check,
@@ -1669,6 +1708,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS component
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "embedding_quantize": """
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       list_aggregate(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+                FROM embeddings
+            ), sc AS (
+                SELECT vec_id, embedding,
+                       CASE WHEN maxabs > 0 THEN 127.0 / maxabs
+                            ELSE 0.0 END AS scale
+                FROM s
+            ), qq AS (
+                SELECT vec_id, scale,
+                       list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)) AS q
+                FROM sc
+            )
+            SELECT vec_id, round(scale, 6) AS scale_r,
+                   md5(array_to_string(q, ',')) AS q_md5,
+                   CAST(len(list_filter(q, v -> abs(v) = 127)) AS INT)
+                       AS n_saturated,
+                   CAST(len(list_filter(q, v -> v = 0)) AS INT) AS n_zero
+            FROM qq ORDER BY vec_id
         """,
         "repetition_stats": """
             WITH ws AS (

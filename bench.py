@@ -139,7 +139,7 @@ def main() -> None:
             "dup_components_host", "train_test_split", "pack_sequences",
             "doc_chunks", "daily_active_users", "extract_pdf_documents",
             "media_features", "repetition_stats", "pii_scrub",
-            "contamination_check",
+            "contamination_check", "embedding_quantize",
         ]
         qs = entry_mod.queries()
         # best-of-2 per query, matching the extraction legs: a single JVM
