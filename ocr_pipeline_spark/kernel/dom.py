@@ -224,6 +224,9 @@ _TAG_RE = re.compile(
 _ATTR_RE = re.compile(
     r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
 )
+# tag-name prefix of a '<'..'>' segment — same charset as _TAG_RE's name
+# group; used by the scanner's quoted-attr fast path
+_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:_.-]*")
 
 # tags whose attributes the renderer actually reads (id/class/role/alt);
 # everything else skips attribute parsing entirely
@@ -244,7 +247,19 @@ _CONTENT_IDS = frozenset(
 )
 
 
+# attrs strings repeat heavily across a corpus (site chrome: the same
+# class="nav"/id="footer" on every page); memoize parses.  Safe because
+# attr dicts are read-only downstream (attr()/classes()/get — no
+# mutation sites, checked).  Bounded so adversarial unique-attr floods
+# can't grow the worker resident set.
+_ATTRS_MEMO: dict[str, dict[str, str]] = {}
+_ATTRS_MEMO_MAX = 50_000
+
+
 def _parse_attrs(raw: str) -> dict[str, str]:
+    cached = _ATTRS_MEMO.get(raw)
+    if cached is not None:
+        return cached
     attrs: dict[str, str] = {}
     for m in _ATTR_RE.finditer(raw):
         name = m.group(1).lower()
@@ -257,6 +272,8 @@ def _parse_attrs(raw: str) -> dict[str, str]:
             value = _html_mod.unescape(value)
         if name not in attrs:
             attrs[name] = value
+    if len(_ATTRS_MEMO) < _ATTRS_MEMO_MAX:
+        _ATTRS_MEMO[raw] = attrs
     return attrs
 
 
@@ -327,6 +344,23 @@ def _parse_html_fast(html: str) -> Node:
                 if seg.isascii() and seg.isalnum():
                     tag = seg.lower()
                     tag_start, tag_end = lt, gt + 1
+                else:
+                    # quoted/attr start tag, single quote STYLE only with
+                    # an even count: every quote is closed, so this '>'
+                    # cannot sit inside a value and the regex would match
+                    # exactly this span.  (Mixed quote styles can balance
+                    # across a mid-quote cut — those take the regex tier.)
+                    dq, sq = '"' in seg, "'" in seg
+                    if (
+                        (not dq or not sq)
+                        and (not dq or seg.count('"') % 2 == 0)
+                        and (not sq or seg.count("'") % 2 == 0)
+                    ):
+                        m2 = _NAME_RE.match(seg)
+                        if m2 is not None:
+                            tag = m2.group().lower()
+                            attrs_raw = seg[m2.end() :]
+                            tag_start, tag_end = lt, gt + 1
         if tag is None:
             # regex tier: one search = find-next-tag + tokenize in a
             # single C call; stray '<'s that don't form a tag stay
