@@ -954,6 +954,63 @@ def _q_contamination_check(spark, sf_dir):
     )
 
 
+def _q_events_sessionized_stream(spark, sf_dir):
+    """The custom stateful STREAMING operator (X18), driver-checked
+    against a SQL oracle: runs the real Structured Streaming engine —
+    applyInPandasWithState gap sessionization with the replay-safe
+    event-time timeout — over the events table via availableNow, then
+    returns the emitted (closed) sessions.  Deterministic: with the
+    event-time timeout the emitted set is EXACTLY the sessions whose
+    gap boundary precedes the final watermark (= max event ts), which
+    the oracle replicates with window sessionization + a closability
+    filter.  Verified byte-stable across runs and file layouts
+    (tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from ocr_pipeline_spark.streaming.stateful import sessionize_stream
+
+    import os
+
+    base = tempfile.mkdtemp(prefix="sess_stream_q_")
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+    try:
+        src = f"{sf_dir}/events.parquet"
+        if not os.path.isdir(src):
+            # the file stream source needs a DIRECTORY base
+            os.makedirs(f"{base}/src")
+            shutil.copy(src, f"{base}/src/events.parquet")
+            src = f"{base}/src"
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        ).parquet(src)
+        q = (
+            sessionize_stream(stream, gap_seconds=1800, event_time_timeout=True)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize through Arrow so the temp sink can be deleted
+        # before the caller's action runs
+        pdf = (
+            spark.read.parquet(sink)
+            .orderBy("user_id", "session_start")
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events int, session_value double",
+    ).orderBy("user_id", "session_start")
+
+
 def _q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 quantization of the embedding column — the
     standard storage/bandwidth lever for corpus-scale vector search
@@ -1141,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_active_users": _q_daily_active_users,
         "media_features": _q_media_features,
         "embedding_quantize": _q_embedding_quantize,
+        "events_sessionized_stream": _q_events_sessionized_stream,
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
         "contamination_check": _q_contamination_check,
@@ -1381,6 +1439,37 @@ def oracle_sql() -> dict[str, str]:
             FROM sessioned
             GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "events_sessionized_stream": """
+            WITH gapped AS (
+                SELECT user_id, value, ts, event_id,
+                       CASE WHEN ts - lag(ts, 1) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sessioned AS (
+                SELECT user_id, value, ts,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_seq
+                FROM gapped
+            ), sessions AS (
+                SELECT user_id,
+                       min(ts) AS session_start,
+                       max(ts) AS session_end,
+                       CAST(count(*) AS INT) AS n_events,
+                       round(sum(value), 2) AS session_value
+                FROM sessioned
+                GROUP BY user_id, session_seq
+            )
+            SELECT user_id, session_start, session_end, n_events,
+                   session_value
+            FROM sessions
+            WHERE session_end + INTERVAL 30 MINUTE <=
+                  (SELECT max(ts) FROM events)
+            ORDER BY user_id, session_start
         """,
         "signup_clicks_1h": """
             SELECT s.event_id AS signup_id,

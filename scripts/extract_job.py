@@ -51,6 +51,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "pages (for inputs whose scans expose too few splits)",
     )
     p.add_argument(
+        "--metrics-mode", choices=("committed", "observe"), default="committed",
+        help="lineage metrics source: 'committed' (default) re-reads the "
+        "committed files (pruned scan, exact under any failure); 'observe' "
+        "accumulates per-bucket metrics inside the extraction kernel "
+        "during the write (no re-read; fused mode only)",
+    )
+    p.add_argument(
         "--synthetic", type=int, default=None,
         help="generate N synthetic pages instead of reading --input",
     )
@@ -117,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
         salt=args.salt,
         co_locate_hosts=not args.no_co_locate,
         co_locate_stage=args.co_locate_stage,
+        metrics_mode=args.metrics_mode,
     )
     print(json.dumps(summary))
     return 0
