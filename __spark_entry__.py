@@ -954,6 +954,48 @@ def _q_contamination_check(spark, sf_dir):
     )
 
 
+def _q_supplier_share(spark, sf_dir):
+    """TPC-H Q11-shaped: suppliers whose lineitem revenue exceeds the
+    all-supplier average — a HAVING against a global scalar aggregate.
+    The scalar rides a broadcast cross join (never a driver collect,
+    never a single-partition global window)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    thresh = per_supp.agg(F.avg("rev").alias("avg_rev"))
+    return (
+        per_supp.crossJoin(F.broadcast(thresh))
+        .filter(F.col("rev") > F.col("avg_rev"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("rev", 2).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "s_suppkey")
+    )
+
+
+def _q_order_quartiles(spark, sf_dir):
+    """Window-function breadth: ntile quartiles of order value within
+    each priority class — integer-exact quartile populations plus
+    rounded value bounds."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    tiled = o.withColumn("quartile", F.ntile(4).over(w))
+    return (
+        tiled.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
 def _q_events_sessionized_stream(spark, sf_dir):
     """The custom stateful STREAMING operator (X18), driver-checked
     against a SQL oracle: runs the real Structured Streaming engine —
@@ -1199,6 +1241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "embedding_quantize": _q_embedding_quantize,
         "events_sessionized_stream": _q_events_sessionized_stream,
+        "supplier_share": _q_supplier_share,
+        "order_quartiles": _q_order_quartiles,
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
         "contamination_check": _q_contamination_check,
@@ -1439,6 +1483,33 @@ def oracle_sql() -> dict[str, str]:
             FROM sessioned
             GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "supplier_share": """
+            WITH per_supp AS (
+                SELECT l_suppkey,
+                       sum(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, round(rev, 2) AS revenue
+            FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev > (SELECT avg(rev) FROM per_supp)
+            ORDER BY revenue DESC, s_suppkey
+        """,
+        "order_quartiles": """
+            WITH tiled AS (
+                SELECT o_orderpriority, o_totalprice,
+                       ntile(4) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey)
+                           AS quartile
+                FROM orders
+            )
+            SELECT o_orderpriority, quartile,
+                   count(*) AS n_orders,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi
+            FROM tiled
+            GROUP BY o_orderpriority, quartile
+            ORDER BY o_orderpriority, quartile
         """,
         "events_sessionized_stream": """
             WITH gapped AS (

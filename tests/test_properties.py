@@ -95,13 +95,19 @@ def test_extraction_total_and_spans_valid(html):
 @given(_html)
 @settings(max_examples=100, deadline=None)
 def test_no_invented_words(html):
-    """Every alphabetic word in the output appears in the tag-stripped
-    source (adjacent inline text legitimately fuses, as in browsers)."""
+    """Every alphabetic word in the output appears in the source's
+    visible text (adjacent inline text legitimately fuses, as in
+    browsers).  Visible text comes from the INDEPENDENT stdlib
+    html.parser tree — a naive <[^>]*> stripper mis-cuts quoted attr
+    values containing '>' (e.g. href="x>y") and would flag correct
+    output as invented."""
+    from ocr_pipeline_spark.kernel.dom import _parse_html_stdlib
+
     r = extract_page(html.encode(), describe=False)
     if not r.markdown:
         return
     body = r.markdown.split("-->", 1)[-1]
-    visible = re.sub(r"<[^>]*>", "", html.lower())
+    visible = _parse_html_stdlib(html.lower()).text(" ")
     visible_fused = re.sub(r"\s+", "", visible)
     allowed = {"figure", "figures", "page", "pic"}
     for w in re.findall(r"[a-z]+", body.lower()):

@@ -215,6 +215,74 @@ def test_pipeline_kill_resume(spark, pages, fused_result):
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def test_pipeline_survives_sigkill_mid_run(spark, pages, fused_result, tmp_path):
+    """REAL kill-resume: a separate JVM runs the pipeline chunk by
+    chunk and is SIGKILLed the moment the first bucket commits —
+    leaving whatever partial files/temporary dirs were in flight.  A
+    resume in this session must complete the table byte-identically
+    with no duplicate and no missing urls (the north rule's
+    checkpointed-manifest requirement, exercised by an actual kill
+    rather than the simulated max_chunks cut)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    wh = str(tmp_path / "wh_kill")
+    src = str(tmp_path / "pages_src")
+    pages.coalesce(2).write.parquet(src)
+
+    child_code = f"""
+import sys
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from ocr_pipeline_spark.plans.job import run_pipeline
+run_pipeline(spark, spark.read.parquet({src!r}), {wh!r}, run_id="rK",
+             n_buckets=8, chunk_size=1, co_locate_hosts=False)
+"""
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_code],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    manifest_dir = os.path.join(wh, "extracted", "_manifest", "rK")
+    deadline = time.time() + 120
+    committed = 0
+    try:
+        while time.time() < deadline:
+            if os.path.isdir(manifest_dir):
+                committed = len(os.listdir(manifest_dir))
+                if committed >= 1:
+                    break
+            if child.poll() is not None:
+                break
+            time.sleep(0.2)
+        assert committed >= 1, "child never committed a bucket"
+        if child.poll() is None:
+            child.send_signal(signal.SIGKILL)
+            child.wait(timeout=30)
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+    cat = ParquetCatalog(spark, wh)
+    done_before = cat.completed_buckets("extracted", "rK")
+    assert done_before and len(done_before) < 8  # killed mid-run
+
+    resumed = run_pipeline(
+        spark, pages, wh, run_id="rK", n_buckets=8, co_locate_hosts=False
+    )
+    assert resumed["skipped"] == len(done_before)
+    final = cat.read("extracted").select("url", "markdown").collect()
+    assert len(final) == N_ROWS
+    assert len({r.url for r in final}) == N_ROWS
+    assert {r.url: r.markdown for r in final} == fused_result
+
+
 def test_pipeline_observe_metrics_match_committed(spark, pages, fused_result):
     """metrics_mode='observe' collects lineage metrics DURING the write
     (no committed-output re-read) and must produce the same per-bucket
