@@ -258,6 +258,55 @@ def train_ivf_centroids(
     return [[float(x) for x in row] for row in C]
 
 
+def refine_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    rounds: int = 1,
+) -> list[list[float]]:
+    """Distributed Lloyd rounds over the FULL corpus: assign cells with
+    broadcast centroids (Arrow kernel), compute per-cell sums of the
+    row-normalized vectors via posexplode + partial-agg group-by, and
+    renormalize on the driver — only n_cells x dim numbers ever leave
+    the cluster, so the refinement scales to any corpus the assignment
+    kernel scales to.  Spherical k-means update (centroid = normalized
+    sum of normalized members); full-batch Lloyd, so the quantizer
+    objective is monotone non-decreasing (pinned in tests).  Empty
+    cells keep their previous centroid."""
+    import numpy as np
+
+    C = [list(map(float, row)) for row in centroids]
+    dim = len(C[0])
+    sq = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda s, x: s + x.cast("double") * x.cast("double"),
+    )
+    normed = df.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double") / F.greatest(F.sqrt(sq), F.lit(1e-12)),
+        ).alias("_nv")
+    )
+    for _ in range(rounds):
+        celled = assign_ivf_cells(normed, "_nv", C)
+        sums = (
+            celled.select("ivf_cell", F.posexplode("_nv").alias("pos", "x"))
+            .groupBy("ivf_cell", "pos")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        arr = np.zeros((len(C), dim))
+        for r in sums:
+            arr[r.ivf_cell, r.pos] = r.s
+        norms = np.linalg.norm(arr, axis=1)
+        out = np.array(C, dtype=np.float64)
+        keep = norms > 1e-12
+        out[keep] = arr[keep] / norms[keep, None]
+        C = [[float(x) for x in row] for row in out]
+    return C
+
+
 def assign_ivf_cells(
     df: DataFrame, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:
@@ -291,14 +340,19 @@ def ivf_ann_topk(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
+    refine_rounds: int = 1,
 ) -> DataFrame:
-    """IVF ANN top-k: train coarse cells, scan only the n_probe cells
-    nearest the query, exact-cosine re-rank inside them.  At scale the
-    cell assignment is precomputed/partitioned-by, making a query a
-    partition-pruned scan of n_probe/n_cells of the data."""
+    """IVF ANN top-k: train coarse cells (bounded-sample init +
+    `refine_rounds` distributed Lloyd passes over the full corpus),
+    scan only the n_probe cells nearest the query, exact-cosine re-rank
+    inside them.  At scale the cell assignment is precomputed/
+    partitioned-by, making a query a partition-pruned scan of
+    n_probe/n_cells of the data."""
     import numpy as np
 
     centroids = train_ivf_centroids(df, vec_col, id_col, n_cells)
+    if refine_rounds:
+        centroids = refine_ivf_centroids(df, vec_col, centroids, refine_rounds)
     C = np.array(centroids, dtype=np.float64)
     q = np.array(query, dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-12)

@@ -765,3 +765,35 @@ def test_dedup_canonical_keeps_min_and_untouched(spark):
     )  # {0,3,5} one cluster; 1,2,4 untouched
     kept = sorted(r.doc_id for r in dedup_canonical(docs, "doc_id", pairs).collect())
     assert kept == [0, 1, 2, 4]
+
+
+def test_ivf_lloyd_refinement_monotone_objective(spark):
+    """refine_ivf_centroids runs full-batch distributed Lloyd rounds —
+    the spherical k-means objective (sum of each row's best-centroid
+    cosine) must be monotone non-decreasing round over round, and
+    centroids stay unit-norm."""
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.ann import (
+        refine_ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    X = np.array([list(r.embedding) for r in e.collect()], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    def objective(cents):
+        C = np.array(cents)
+        return float(np.max(X @ C.T, axis=1).sum())
+
+    c0 = train_ivf_centroids(e, "embedding", "vec_id", n_cells=8, sample_n=64)
+    objs = [objective(c0)]
+    c = c0
+    for _ in range(3):
+        c = refine_ivf_centroids(e, "embedding", c, rounds=1)
+        assert np.allclose(np.linalg.norm(np.array(c), axis=1), 1.0, atol=1e-9)
+        objs.append(objective(c))
+    for a, b in zip(objs, objs[1:]):
+        assert b >= a - 1e-9, objs
+    assert objs[-1] > objs[0]  # the bounded-sample init left real slack
