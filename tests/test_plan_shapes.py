@@ -86,3 +86,51 @@ def test_contamination_gram_join_is_broadcast(spark):
     plan = _plan(entry_mod.queries()["contamination_check"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Runtime skew handling, the complement of write-side salting:
+    with AQE skew-join on, a join against a Zipf-skewed key set must
+    execute with the hot partition SPLIT (the executed plan marks the
+    sort-merge join `skew=true`), instead of one straggler task
+    carrying the head key."""
+    from pyspark.sql import functions as F
+
+    n_hot = 200_000
+    left = spark.range(n_hot + 2_000).select(
+        F.when(F.col("id") < n_hot, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 97).alias("payload"),
+    )
+    right = spark.range(3_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("r")
+    )
+    prev = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor":
+            spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            spark.conf.get(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+            ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # thresholds low enough that the fixture's hot key counts as skewed
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        joined = left.join(right, "k")
+        # materialize THIS DataFrame's own query execution — an agg on
+        # top would finalize a different AQE plan and leave this one
+        # isFinalPlan=false
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
