@@ -179,6 +179,31 @@ def test_approx_distinct_within_tolerance_of_exact(spark):
         assert abs(approx[d] - n) <= max(3, 0.06 * n), (d, approx[d], n)
 
 
+def test_approx_percentile_within_tolerance_of_exact(spark):
+    """approx_percentile (the t-digest-style sketch — the scale path
+    for distribution stats) must land within a small rank error of the
+    oracled exact quantiles from docs_char_quantiles."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    probs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    approx = d.agg(
+        F.percentile_approx("n_chars", probs, 10_000).alias("q")
+    ).first().q
+    values = sorted(r.n_chars for r in d.select("n_chars").collect())
+    n = len(values)
+    for p, a in zip(probs, approx):
+        # rank of the sketch's answer must be within 1% of target rank
+        import bisect
+
+        lo = bisect.bisect_left(values, a)
+        hi = bisect.bisect_right(values, a)
+        target = p * (n - 1)
+        assert lo - 1 <= target + 0.01 * n and hi >= target - 0.01 * n, (
+            p, a, lo, hi, target,
+        )
+
+
 @pytest.mark.parametrize("n_shards", [4, 32])
 def test_pack_sequences_green_at_two_shard_counts(spark, ddb, n_shards, monkeypatch):
     """r2 VERDICT #6: shard count is a parameter ∝ parallelism, and the

@@ -797,3 +797,64 @@ def test_ivf_lloyd_refinement_monotone_objective(spark):
     for a, b in zip(objs, objs[1:]):
         assert b >= a - 1e-9, objs
     assert objs[-1] > objs[0]  # the bounded-sample init left real slack
+
+
+def test_jpeg_gif_decode_spec_conformance_anchors():
+    """Round-trip tests can't catch a SYMMETRIC encoder/decoder bug
+    (e.g. both sides using a wrong zigzag); these anchors decode byte
+    streams hand-assembled directly from the specs (ITU T.81 K.3
+    canonical Huffman codes; GIF89a LZW packing) with analytically
+    known pixel output."""
+    import struct
+
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.imagecodecs import (
+        _STD_AC_VALS,
+        decode_gif,
+        decode_jpeg,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    ac_bits = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    head = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))  # flat quant
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(12)))
+        + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + _STD_AC_VALS)
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+    # DC diff 0: K.3.1 canonical category-0 code '00'; EOB: K.3.2 '1010';
+    # '00 1010' + 1-padding = 0x2B.  DC-only block -> uniform 0/8+128.
+    px = decode_jpeg(head + bytes([0x2B]) + b"\xff\xd9")
+    assert px.shape == (8, 8, 3) and np.all(px == 128)
+    # DC diff 8: category 4 code '101' + 4 magnitude bits '1000', EOB
+    # '1010' -> 10110001 010 + 1-pad = 0xB1 0x5F -> uniform 8/8+128.
+    px2 = decode_jpeg(head + bytes([0xB1, 0x5F]) + b"\xff\xd9")
+    assert np.all(px2 == 129)
+
+    # GIF89a 2x1, 2-color GCT, min code size 2: codes at width 3 are
+    # clear=100, idx0=000, idx1=001, eoi=101, packed LSB-first
+    bits = [(4, 3), (0, 3), (1, 3), (5, 3)]
+    acc = n = 0
+    out = bytearray()
+    for v, w in bits:
+        acc |= v << n
+        n += w
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+        + bytes([255, 0, 0, 0, 0, 255])
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+        + bytes([2, len(out)]) + bytes(out) + b"\x00\x3b"
+    )
+    assert decode_gif(gif).tolist() == [[[255, 0, 0], [0, 0, 255]]]
