@@ -629,6 +629,26 @@ def _q_lang_simhash(spark, sf_dir):
     return with_hash.select("doc_id", "lang_pred", "simhash").orderBy("doc_id")
 
 
+def _q_simhash_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (X4's scale path): pigeonhole banding of
+    the 64-bit signature + inline popcount verify — EXACT recall at the
+    hamming threshold (unlike LSH), single banded shuffle, no
+    hydration join.  Kernel-based signatures (blake2b) -> rows-only
+    driver check; hamming values recomputed independently in pytest."""
+    from ocr_pipeline_spark.operators.text_ops import (
+        simhash_kernel,
+        simhash_near_dup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = d.mapInPandas(
+        simhash_kernel(), schema="doc_id long, text string, simhash long"
+    )
+    return simhash_near_dup_pairs(
+        sigs, "doc_id", "simhash", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
 def _q_minhash_dup_pairs(spark, sf_dir):
     from ocr_pipeline_spark.operators.text_ops import (
         lsh_candidate_pairs,
@@ -1225,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_documents": _q_assemble_documents,
         "lang_simhash": _q_lang_simhash,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "near_dup_verified": _q_near_dup_verified,

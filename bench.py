@@ -140,7 +140,7 @@ def main() -> None:
             "doc_chunks", "daily_active_users", "extract_pdf_documents",
             "media_features", "repetition_stats", "pii_scrub",
             "contamination_check", "embedding_quantize",
-            "supplier_share", "order_quartiles",
+            "supplier_share", "order_quartiles", "simhash_dup_pairs",
         ]
         qs = entry_mod.queries()
         # best-of-2 per query, matching the extraction legs: a single JVM

@@ -329,6 +329,68 @@ def lsh_candidate_pairs(
     ).distinct()
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    sim_col: str = "simhash",
+    max_hamming: int = 3,
+    max_bucket: int = _MAX_BUCKET,
+    observation=None,
+) -> DataFrame:
+    """SimHash near-dup pairs at scale: pigeonhole banding + exact
+    popcount verify, all JVM after the signature kernel.
+
+    The 64-bit signature splits into `max_hamming + 1` bands; two
+    signatures within `max_hamming` bits MUST agree exactly on at least
+    one band (pigeonhole), so banding misses nothing — candidates are a
+    banded group-by shuffle (the MinHash-LSH shape, same hot-bucket
+    star-overflow policy via intra_bucket_pairs), never a cross join,
+    and recall is EXACT, not probabilistic.  The signature rides the
+    bucket rows as a (id, sim) struct, so verification is one inline
+    `bit_count(a ^ b)` per candidate — no hydration join at all
+    (struct pair ordering is lexicographic, i.e. by id, so the
+    id_a < id_b convention is preserved).  Output:
+    (id_a, id_b, hamming) with id_a < id_b.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sims = df.select(
+        F.struct(
+            F.col(id_col).alias("i"), F.col(sim_col).alias("s")
+        ).alias("_is")
+    )
+    banded = sims.select(
+        "_is",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_is.s"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    grouped = banded.groupBy("band", "chunk").agg(
+        F.collect_list("_is").alias("ids")
+    )
+    pairs = intra_bucket_pairs(
+        grouped, max_bucket, observation, overflow="star"
+    ).distinct()
+    return (
+        pairs.select(
+            F.col("id_a.i").alias("id_a"),
+            F.col("id_b.i").alias("id_b"),
+            F.bit_count(
+                F.col("id_a.s").bitwiseXOR(F.col("id_b.s"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+
 # =========================================================================
 # Document fingerprinting — Karp-Rabin rolling hash + winnowing
 # (Schleimer/Wilkerson/Aiken, SIGMOD'03; the reference has no analog —

@@ -858,3 +858,49 @@ def test_jpeg_gif_decode_spec_conformance_anchors():
         + bytes([2, len(out)]) + bytes(out) + b"\x00\x3b"
     )
     assert decode_gif(gif).tolist() == [[[255, 0, 0], [0, 0, 255]]]
+
+
+def test_simhash_near_dup_pairs_exact_at_threshold(spark):
+    """Pigeonhole banding guarantees EXACT recall at the hamming
+    threshold: the operator's pair set must equal a brute-force
+    all-pairs popcount over the same signatures, and reported hamming
+    distances must match an independent Python popcount."""
+    from ocr_pipeline_spark.operators.text_ops import (
+        simhash64,
+        simhash_near_dup_pairs,
+    )
+
+    base = (
+        "a long web article body about distributed joins and shuffle "
+        "planning with enough tokens to give the signature signal " * 4
+    )
+    rows = [
+        (1, base),
+        (2, base + " tail variation"),          # near-dup of 1
+        (3, base.replace("joins", "sketches")),  # near-dup of 1
+        (4, "completely unrelated text about baking sourdough bread "
+            "with rye flour and long fermentation times " * 4),
+        (5, base),                               # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from ocr_pipeline_spark.operators.text_ops import simhash_kernel
+
+    sigs_df = df.mapInPandas(
+        simhash_kernel(), schema="doc_id long, text string, simhash long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(sigs_df, "doc_id", max_hamming=3).collect()
+    }
+    # independent brute force on independently computed signatures
+    sigs = {i: simhash64(t) for i, t in rows}
+    want = {}
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    assert (1, 5) in got and got[(1, 5)] == 0  # exact dup found
