@@ -264,22 +264,31 @@ def intra_bucket_pairs(
             F.count(F.lit(1)).alias("total_buckets"),
             F.count(F.when(F.col("_n") > max_bucket, 1)).alias("dropped_buckets"),
         )
-    full = sized.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)).select(
+    full_expr = (
+        "filter(flatten(transform(ids, a -> transform(ids, b -> "
+        "struct(a, b)))), p -> p.a < p.b)"
+    )
+    if overflow == "drop":
+        return sized.filter(
+            (F.col("_n") >= 2) & (F.col("_n") <= max_bucket)
+        ).select(
+            F.explode(F.expr(full_expr)).alias("p")
+        ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    # star mode: ONE conditional pair-array per bucket row — a union of
+    # two filtered branches would duplicate the grouped subtree in the
+    # plan (the upstream kernel/aggregate runs once per consumer unless
+    # exchange reuse saves it; a single select needs no saving)
+    star_expr = (
+        "transform(filter(ids, x -> x > array_min(ids)), "
+        "x -> named_struct('a', array_min(ids), 'b', x))"
+    )
+    return sized.filter(F.col("_n") >= 2).select(
         F.explode(
-            F.expr(
-                "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"
+            F.when(F.col("_n") <= max_bucket, F.expr(full_expr)).otherwise(
+                F.expr(star_expr)
             )
         ).alias("p")
     ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-    if overflow == "drop":
-        return full
-    star = sized.filter(F.col("_n") > max_bucket).select(
-        F.array_min("ids").alias("id_a"),
-        F.explode(
-            F.expr("filter(ids, x -> x > array_min(ids))")
-        ).alias("id_b"),
-    )
-    return full.unionByName(star)
 
 
 def lsh_candidate_pairs(

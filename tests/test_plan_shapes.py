@@ -134,3 +134,14 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_minhash_pairs_single_kernel_invocation(spark):
+    """The star-overflow path must emit its conditional pair array in
+    ONE pass — a union of filtered branches duplicates the signature
+    kernel subtree in the plan (regression pin: exactly one
+    MapInPandas node)."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["minhash_dup_pairs"](spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1, plan[:2000]
