@@ -30,6 +30,17 @@ import struct
 
 import numpy as np
 
+# Decode-bomb guard: a 2-byte header field can declare 65535x65535 and
+# make a decoder attempt a multi-GB allocation BEFORE any pixel data is
+# validated — on an executor that is an OOM-kill, not an exception.
+# Real web images sit far below this cap (64 MPix ~ 12k x 5k).
+_MAX_PIXELS = 1 << 26
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"implausible image dimensions {w}x{h}")
+
 # =========================================================================
 # JPEG — baseline sequential DCT
 # =========================================================================
@@ -215,8 +226,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
     h, w, comps = frame
-    if h == 0 or w == 0:
-        raise ValueError("zero dimension")
+    _check_dims(w, h)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -292,6 +302,11 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
 # GIF — LZW
 # =========================================================================
 def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:
+    # spec range is 2..8 (color tables cap at 256 entries); an
+    # unvalidated byte here is a decode bomb: 1 << 200 initial
+    # dictionary entries (found by garbage fuzzing)
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     out: list[int] = []
@@ -347,7 +362,10 @@ def decode_gif(data: bytes) -> np.ndarray:
     path)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
     sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    _check_dims(sw, sh)
     pos = 13
     gct = None
     if flags & 0x80:
@@ -366,7 +384,10 @@ def decode_gif(data: bytes) -> np.ndarray:
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if len(data) < pos + 10:
+            raise ValueError("truncated image descriptor")
         left, top, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        _check_dims(iw, ih)
         pos += 10
         table = gct
         if iflags & 0x80:

@@ -127,9 +127,17 @@ def decode_png(data: bytes) -> "np.ndarray":
     if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG (depth={depth} color={color} "
                          f"interlace={interlace})")
+    # decode-bomb guards: header-declared dimensions drive allocations,
+    # and IDAT is a deflate stream (a few KB can inflate to GBs) — cap
+    # both BEFORE touching pixel memory, mirroring imagecodecs/_MAX_PIXELS
+    # and dom.decode_html's gzip cap
+    if w <= 0 or h <= 0 or w * h > (1 << 26):
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
     nch = _PNG_CHANNELS[color]
     stride = w * nch
-    raw = zlib.decompress(b"".join(idat))
+    max_raw = h * (stride + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), max_raw)
     if len(raw) < h * (stride + 1):
         raise ValueError("short pixel data")
     out = np.zeros((h, stride), np.uint8)
@@ -210,7 +218,14 @@ def image_features(data: bytes | None, dim: int = 16) -> list[float]:
             else px[:, :, 0]
         )
         counts = np.bincount((lum.ravel() * dim) // 256, minlength=dim)[:dim]
-    except (NotImplementedError, ValueError, IndexError, struct.error):
+    except (
+        NotImplementedError,
+        ValueError,
+        IndexError,
+        KeyError,       # garbage JPEG: scan referencing an undeclared table
+        struct.error,
+        zlib.error,     # corrupt deflate inside a PNG
+    ):
         counts = np.bincount(
             np.frombuffer(data, np.uint8) % dim, minlength=dim
         )[:dim]

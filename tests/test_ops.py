@@ -904,3 +904,70 @@ def test_simhash_near_dup_pairs_exact_at_threshold(spark):
                 want[(a, b)] = h
     assert got == want
     assert (1, 5) in got and got[(1, 5)] == 0  # exact dup found
+
+
+def test_image_decoders_bounded_on_bombs_and_garbage():
+    """Decode bombs (header-declared huge dimensions, tiny-IDAT inflate
+    bombs, absurd LZW code sizes — all found by garbage fuzzing) must
+    be rejected instantly, and image_features must absorb ANY garbage
+    payload into the byte-histogram fallback without raising."""
+    import struct as _s
+    import time
+    import zlib as _z
+
+    import pytest as _pytest
+
+    from ocr_pipeline_spark.operators.imagecodecs import (
+        decode_gif,
+        decode_jpeg,
+    )
+    from ocr_pipeline_spark.operators.multimodal import decode_png
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + _s.pack(">H", len(p) + 2) + p
+
+    sof = bytes([8]) + _s.pack(">HH", 65535, 65535) + bytes([1, 1, 0x11, 0])
+    jpeg_bomb = (
+        b"\xff\xd8" + seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + seg(0xC0, sof) + seg(0xDA, bytes([1, 1, 0, 0, 63, 0])) + b"\x00" * 8
+    )
+    gif_bomb = (
+        b"GIF89a" + _s.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+        + b"\x2c" + _s.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+        + bytes([8, 1, 0, 0]) + b"\x3b"
+    )
+    lzw_bomb = (
+        b"GIF89a" + _s.pack("<HHBBB", 4, 4, 0x80, 0, 0)
+        + bytes([0] * 6)
+        + b"\x2c" + _s.pack("<HHHHB", 0, 0, 4, 4, 0)
+        + bytes([246, 1, 0, 0]) + b"\x3b"   # LZW min code size 246
+    )
+
+    def chunk(t, p):
+        return (
+            _s.pack(">I", len(p)) + t + p
+            + _s.pack(">I", _z.crc32(t + p) & 0xFFFFFFFF)
+        )
+
+    png_bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(b"\x00" * 100_000))
+        + chunk(b"IEND", b"")
+    )
+    for dec, bomb in (
+        (decode_jpeg, jpeg_bomb),
+        (decode_gif, gif_bomb),
+        (decode_gif, lzw_bomb),
+        (decode_png, png_bomb),
+    ):
+        t0 = time.time()
+        with _pytest.raises(ValueError):
+            dec(bomb)
+        assert time.time() - t0 < 0.5  # rejected BEFORE any big allocation
+
+    # image_features: total on every bomb + assorted garbage
+    for payload in (jpeg_bomb, gif_bomb, lzw_bomb, png_bomb,
+                    b"\xff\xd8" + b"\x9c" * 50, b"GIF89a\x01"):
+        f = image_features(payload, dim=8)
+        assert len(f) == 8 and abs(sum(f) - 1.0) < 1e-3
