@@ -52,8 +52,15 @@ def _object_map(data: bytes) -> dict[int, bytes]:
     return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
 
 
+# deflate-bomb guard: a KB-sized FlateDecode stream can inflate to GBs;
+# no real page content stream approaches this cap
+_MAX_STREAM_BYTES = 16 << 20
+
+
 def _stream_bytes(body: bytes) -> bytes:
-    """Slice a stream object's payload; inflate FlateDecode streams."""
+    """Slice a stream object's payload; inflate FlateDecode streams
+    (bounded at _MAX_STREAM_BYTES — truncates, never allocates
+    unboundedly on a crafted stream)."""
     i = body.find(b"stream")
     if i < 0:
         return b""
@@ -72,7 +79,7 @@ def _stream_bytes(body: bytes) -> bytes:
         raw = raw[:-1]
     if b"/FlateDecode" in body[: body.find(b"stream")]:
         try:
-            return zlib.decompressobj().decompress(raw)
+            return zlib.decompressobj().decompress(raw, _MAX_STREAM_BYTES)
         except zlib.error:
             return raw
     return raw
