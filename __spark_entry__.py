@@ -1111,6 +1111,59 @@ def _q_embedding_quantize(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring SPAN MARKING (the Lee et al.
+    'Deduplicating Training Data' primitive): every maximal run of
+    word 8-grams that occurs >= 2 times corpus-wide is emitted as a
+    removable (doc_id, span_start, span_end) interval.
+
+    Scale shape: gram occurrence counting is a window count over the
+    gram key — one shuffle, NO pair expansion, so a gram shared by
+    millions of documents costs a counter, not a quadratic bucket;
+    island-merging is a per-document window (partitioned by doc).
+    Gram key is md5 (engine-portable for the oracle; swap for
+    xxhash64 when DuckDB parity is not needed).  Integer-exact."""
+    d = _t(spark, sf_dir, "documents")
+    k = 8
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = ws.filter(F.size("ws") >= k).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {k - 1}), "
+                f"i -> struct(i AS pos, md5(array_join(slice(ws, i, {k}), ' ')) AS g))"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.pos").alias("pos"), F.col("e.g").alias("g"))
+    counted = grams.withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("g"))
+    )
+    hits = counted.filter(F.col("cnt") >= 2).select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") <= F.coalesce(prev_end, F.lit(-1)) + 1, 0).otherwise(1),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("int").alias("span_end"),
+            F.count("*").cast("int").alias("n_grams"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "span_start")
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal pixel path (X13) end to end: deterministic binary
     image payloads (GIF/JPEG/empty/garbage — fixtures/gen_media.py,
@@ -1260,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_docs": _q_dedup_canonical_docs,
         "daily_active_users": _q_daily_active_users,
         "media_features": _q_media_features,
+        "dup_spans": _q_dup_spans,
         "embedding_quantize": _q_embedding_quantize,
         "events_sessionized_stream": _q_events_sessionized_stream,
         "supplier_share": _q_supplier_share,
@@ -1889,6 +1943,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS component
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "dup_spans": """
+            WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), grams AS (
+                SELECT doc_id, i AS pos,
+                       md5(array_to_string(ws[i:i+7], ' ')) AS g
+                FROM ws, LATERAL unnest(generate_series(1, len(ws) - 7)) AS t(i)
+                WHERE len(ws) >= 8
+            ), counted AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY g) AS cnt
+                FROM grams
+            ), hits AS (
+                SELECT doc_id, pos FROM counted WHERE cnt >= 2
+            ), islands AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos <= coalesce(max(pos + 7) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1) + 1
+                            THEN 0 ELSE 1 END AS new_island
+                FROM hits
+            ), numbered AS (
+                SELECT doc_id, pos,
+                       sum(new_island) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS island
+                FROM islands
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS INT) AS span_start,
+                   CAST(max(pos) + 7 AS INT) AS span_end,
+                   CAST(count(*) AS INT) AS n_grams
+            FROM numbered GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
         """,
         "embedding_quantize": """
             WITH s AS (

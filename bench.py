@@ -141,6 +141,7 @@ def main() -> None:
             "media_features", "repetition_stats", "pii_scrub",
             "contamination_check", "embedding_quantize",
             "supplier_share", "order_quartiles", "simhash_dup_pairs",
+            "dup_spans",
         ]
         qs = entry_mod.queries()
         # best-of-2 per query, matching the extraction legs: a single JVM

@@ -28,6 +28,7 @@ _NO_CROSS_QUERIES = [
     "doc_chunks",
     "repetition_stats",
     "contamination_check",
+    "dup_spans",
 ]
 
 
