@@ -1111,6 +1111,57 @@ def _q_embedding_quantize(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _q_filter_funnel(spark, sf_dir):
+    """The corpus-filter FUNNEL report (Gopher/C4-style pipeline
+    hygiene): documents flow through exact-dedup -> min-length ->
+    alpha-ratio -> repetition filters in order; one row per stage with
+    drop/survivor counts.  Every predicate is integer-exact (cross-
+    multiplied ratios, no float thresholds) so the oracle hash-matches
+    bit-for-bit.  Single pass: all flags computed in one projection +
+    one window, then a conditional aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    w_dup = Window.partitionBy(F.md5(F.encode("text", "UTF-8"))).orderBy(
+        "doc_id"
+    )
+    ws = F.split("text", " ")
+    flagged = (
+        d.select("doc_id", "text", "n_chars")
+        .withColumn("is_dup", F.row_number().over(w_dup) > 1)
+        .withColumn("too_short", F.col("n_chars") < 200)
+        .withColumn(
+            "low_alpha",
+            10 * F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+            < 6 * F.length("text"),
+        )
+        .withColumn("ws", ws)
+    )
+    words = flagged.select(
+        "doc_id", "is_dup", "too_short", "low_alpha",
+        F.size("ws").alias("n_words"),
+        F.explode("ws").alias("w"),
+    )
+    wc = words.groupBy(
+        "doc_id", "is_dup", "too_short", "low_alpha", "n_words", "w"
+    ).count()
+    per_doc = wc.groupBy(
+        "doc_id", "is_dup", "too_short", "low_alpha", "n_words"
+    ).agg(F.max("count").alias("top_wc"))
+    staged = per_doc.select(
+        "doc_id",
+        F.when(F.col("is_dup"), "1_exact_dup")
+        .when(F.col("too_short"), "2_too_short")
+        .when(F.col("low_alpha"), "3_low_alpha")
+        .when(5 * F.col("top_wc") > F.col("n_words"), "4_repetitive")
+        .otherwise("kept")
+        .alias("stage"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("stage")
+    )
+
+
 def _q_dup_spans(spark, sf_dir):
     """Exact duplicated-substring SPAN MARKING (the Lee et al.
     'Deduplicating Training Data' primitive): every maximal run of
@@ -1314,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_active_users": _q_daily_active_users,
         "media_features": _q_media_features,
         "dup_spans": _q_dup_spans,
+        "filter_funnel": _q_filter_funnel,
         "embedding_quantize": _q_embedding_quantize,
         "events_sessionized_stream": _q_events_sessionized_stream,
         "supplier_share": _q_supplier_share,
@@ -1943,6 +1995,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS component
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "filter_funnel": """
+            WITH flagged AS (
+                SELECT doc_id, text, n_chars,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) > 1 AS is_dup,
+                       n_chars < 200 AS too_short,
+                       10 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                           < 6 * length(text) AS low_alpha
+                FROM documents
+            ), words AS (
+                SELECT doc_id, is_dup, too_short, low_alpha,
+                       len(string_split(text, ' ')) AS n_words,
+                       unnest(string_split(text, ' ')) AS w
+                FROM flagged
+            ), wc AS (
+                SELECT doc_id, is_dup, too_short, low_alpha, n_words, w,
+                       count(*) AS c
+                FROM words
+                GROUP BY doc_id, is_dup, too_short, low_alpha, n_words, w
+            ), per_doc AS (
+                SELECT doc_id, is_dup, too_short, low_alpha, n_words,
+                       max(c) AS top_wc
+                FROM wc GROUP BY doc_id, is_dup, too_short, low_alpha, n_words
+            ), staged AS (
+                SELECT doc_id,
+                       CASE WHEN is_dup THEN '1_exact_dup'
+                            WHEN too_short THEN '2_too_short'
+                            WHEN low_alpha THEN '3_low_alpha'
+                            WHEN 5 * top_wc > n_words THEN '4_repetitive'
+                            ELSE 'kept' END AS stage
+                FROM per_doc
+            )
+            SELECT stage, count(*) AS n_docs
+            FROM staged GROUP BY stage ORDER BY stage
         """,
         "dup_spans": """
             WITH ws AS (

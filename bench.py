@@ -141,7 +141,7 @@ def main() -> None:
             "media_features", "repetition_stats", "pii_scrub",
             "contamination_check", "embedding_quantize",
             "supplier_share", "order_quartiles", "simhash_dup_pairs",
-            "dup_spans",
+            "dup_spans", "filter_funnel",
         ]
         qs = entry_mod.queries()
         # best-of-2 per query, matching the extraction legs: a single JVM
