@@ -1317,6 +1317,10 @@ def _q_lang_pred(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: every key with an oracle_sql() entry comes FIRST.
+    # The driver's correctness harness evaluates only the first 50 entries,
+    # so oracled queries must all sit inside that window; queries verified
+    # by independent pytest evidence instead of a DuckDB oracle go last.
     return {
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1345,25 +1349,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custs_no_big_orders": _q_custs_no_big_orders,
         "embedding_near_dup": _q_embedding_near_dup,
         "host_stats": _q_host_stats,
-        "extract_documents": _q_extract_documents,
-        "assemble_documents": _q_assemble_documents,
-        "lang_simhash": _q_lang_simhash,
-        "minhash_dup_pairs": _q_minhash_dup_pairs,
-        "simhash_dup_pairs": _q_simhash_dup_pairs,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "near_dup_verified": _q_near_dup_verified,
         "doc_fingerprints": _q_doc_fingerprints,
         "fingerprint_overlap": _q_fingerprint_overlap,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "pdf_page_explode": _q_pdf_page_explode,
         "jaccard_pairs_host": _q_jaccard_pairs_host,
         "lang_pred": _q_lang_pred,
         "dup_components_host": _q_dup_components_host,
-        "extract_pdf_documents": _q_extract_pdf_documents,
         "dedup_canonical_docs": _q_dedup_canonical_docs,
         "daily_active_users": _q_daily_active_users,
-        "media_features": _q_media_features,
         "dup_spans": _q_dup_spans,
         "filter_funnel": _q_filter_funnel,
         "embedding_quantize": _q_embedding_quantize,
@@ -1376,6 +1368,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": _q_train_test_split,
         "pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
+        # --- no DuckDB oracle (independent pytest verification) below ---
+        "extract_documents": _q_extract_documents,
+        "assemble_documents": _q_assemble_documents,
+        "extract_pdf_documents": _q_extract_pdf_documents,
+        "pdf_page_explode": _q_pdf_page_explode,
+        "lang_simhash": _q_lang_simhash,
+        "minhash_dup_pairs": _q_minhash_dup_pairs,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "near_dup_verified": _q_near_dup_verified,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "media_features": _q_media_features,
     }
 
 

@@ -58,6 +58,25 @@ def test_every_oracle_key_has_a_query():
         assert k in qs
 
 
+def test_oracled_queries_inside_driver_window():
+    """The driver's correctness harness evaluates only the first 50
+    queries() entries.  Pin the ordering contract: every oracled key must
+    precede every non-oracled key, and every oracled key must land inside
+    the 50-entry window (r3 regression: 8 green queries appended past the
+    window silently vanished from the hard signal)."""
+    keys = list(entry_mod.queries())
+    oracled = set(ORACLE_KEYS)
+    positions = [i for i, k in enumerate(keys) if k in oracled]
+    first_unoracled = min(
+        (i for i, k in enumerate(keys) if k not in oracled),
+        default=len(keys),
+    )
+    assert max(positions) < 50, "an oracled query sits past the driver window"
+    assert max(positions) < first_unoracled, (
+        "oracled queries must all precede no-oracle queries"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(spark, ddb, name):
     q = entry_mod.queries()[name]
