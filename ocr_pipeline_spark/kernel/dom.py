@@ -254,6 +254,10 @@ _CONTENT_IDS = frozenset(
 # can't grow the worker resident set.
 _ATTRS_MEMO: dict[str, dict[str, str]] = {}
 _ATTRS_MEMO_MAX = 50_000
+# Keys are raw attr strings; cap the length of memoized keys so retained
+# BYTES (not just entries) are bounded — a hostile corpus of unique
+# multi-MB attribute blobs must not pin 50k large strings per executor.
+_ATTRS_MEMO_KEY_MAX = 1024
 
 
 def _parse_attrs(raw: str) -> dict[str, str]:
@@ -272,7 +276,7 @@ def _parse_attrs(raw: str) -> dict[str, str]:
             value = _html_mod.unescape(value)
         if name not in attrs:
             attrs[name] = value
-    if len(_ATTRS_MEMO) < _ATTRS_MEMO_MAX:
+    if len(raw) <= _ATTRS_MEMO_KEY_MAX and len(_ATTRS_MEMO) < _ATTRS_MEMO_MAX:
         _ATTRS_MEMO[raw] = attrs
     return attrs
 

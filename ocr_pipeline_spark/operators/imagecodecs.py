@@ -6,11 +6,13 @@ JPEG and GIF pixel decode real, the same way dom.py's decode chain and
 multimodal.decode_png make their formats real.  Scope is deliberately
 the web-dominant subset:
 
-* JPEG: baseline sequential DCT (SOF0/SOF1), 8-bit, Huffman,
-  grayscale or YCbCr, restart markers, 4:4:4 / 4:2:0 / 4:2:2 / 4:1:1
-  chroma subsampling.  Progressive (SOF2) and arithmetic coding raise
-  ValueError — callers (image_features) degrade to the deterministic
-  byte-histogram fallback, never crash.
+* JPEG: baseline sequential DCT (SOF0/SOF1) and progressive (SOF2,
+  spectral selection + successive approximation, EOB runs), 8-bit,
+  Huffman, grayscale or YCbCr, restart markers, 4:4:4 / 4:2:0 / 4:2:2
+  / 4:1:1 chroma subsampling.  Arithmetic coding and
+  lossless/hierarchical frames raise ValueError — callers
+  (image_features) degrade to the deterministic byte-histogram
+  fallback, never crash.
 * GIF: 87a/89a, global/local color tables, interlace, LZW; first
   frame of animations.
 
@@ -150,11 +152,26 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> (H, W, 3) uint8 RGB (grayscale replicated).
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real (non-stuffed, non-RST) marker at or
+    after pos — how the multi-scan parser steps over entropy data."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
 
-    Raises ValueError on progressive/arithmetic/12-bit streams and on
-    malformed input — callers fall back, never crash.
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG -> (H, W, 3) uint8
+    RGB (grayscale replicated).
+
+    Raises ValueError on arithmetic-coded/hierarchical/12-bit streams
+    and on malformed input — callers fall back, never crash.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -162,6 +179,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, comps) ; comps: [(cid, hs, vs, tq)]
+    progressive = False
+    coeffs: dict[int, np.ndarray] | None = None
+    n_scans = 0
     restart_interval = 0
     pos = 2
     n = len(data)
@@ -193,7 +213,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     bits, symbols
                 )
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h, w = struct.unpack(">HH", seg[1:5])
@@ -203,9 +223,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+            if progressive:
+                _check_dims(w, h)
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                coeffs = {
+                    cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), np.int64)
+                    for cid, hs, vs, _tq in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+            raise ValueError("non-sequential-DCT JPEG (arith/lossless)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
@@ -216,11 +247,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tda = seg[1 + 2 * c : 3 + 2 * c]
                 scan_sel.append((cid, tda >> 4, tda & 0xF))
-            return _decode_scan(
-                data, pos + 2 + seg_len, frame, scan_sel, qt,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + 2 + seg_len, frame, scan_sel, qt,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            end = _decode_scan_progressive(
+                data, pos + 2 + seg_len, frame, scan_sel,
+                (ss, se, ahal >> 4, ahal & 0xF), coeffs,
                 huff_dc, huff_ac, restart_interval,
             )
+            n_scans += 1
+            pos = _next_marker(data, end)
+            continue
         pos += 2 + seg_len
+    if progressive and coeffs is not None and n_scans:
+        return _finish_progressive(frame, coeffs, qt)
     raise ValueError("no scan data")
 
 
@@ -233,6 +276,18 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
     sel = {cid: (td, ta) for cid, td, ta in scan_sel}
+    # MCU data is interleaved in SOS (scan) component order, which a
+    # spec-legal stream may list differently from SOF order; iterate in
+    # scan order and reject scan components absent from the frame.
+    if len(scan_sel) != len(comps):
+        raise ValueError("multi-scan (non-interleaved) baseline unsupported")
+    by_cid = {c[0]: c for c in comps}
+    try:
+        scan_comps = [by_cid[cid] for cid, _td, _ta in scan_sel]
+    except KeyError as exc:
+        raise ValueError(f"SOS component {exc} not in frame") from None
+    if len({cid for cid, *_ in scan_sel}) != len(scan_sel):
+        raise ValueError("duplicate SOS component")
     planes = {}
     for cid, hs, vs, _tq in comps:
         planes[cid] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.int64)
@@ -246,7 +301,7 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
                 br.align_to_marker()
                 pred = {cid: 0 for cid in pred}
             mcu_count += 1
-            for cid, hs, vs, tq in comps:
+            for cid, hs, vs, tq in scan_comps:
                 td, ta = sel[cid]
                 dc_tbl, ac_tbl = huff_dc[td], huff_ac[ta]
                 q = qt[tq]
@@ -278,7 +333,12 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
-    # upsample each component to full MCU-grid resolution, crop, combine
+    return _combine_planes(planes, comps, h, w, hmax, vmax)
+
+
+def _combine_planes(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample each component plane to full MCU-grid resolution, crop
+    to (h, w), and combine (grayscale replicate / YCbCr -> RGB)."""
     full = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
@@ -296,6 +356,201 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _comp_block_dims(frame, hs: int, vs: int) -> tuple[int, int]:
+    """A component's ACTUAL block grid (spec A.1.1) — what a
+    non-interleaved scan codes, which is smaller than the MCU-padded
+    grid when the image doesn't fill the last MCU row/column."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    cw = (w * hs + hmax - 1) // hmax
+    ch = (h * vs + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _refine_ac(br: _BitReader, block: np.ndarray, ss: int, se: int,
+               al: int, eobrun: int, ac_tbl: dict) -> int:
+    """AC successive-approximation refinement for one block (spec
+    G.1.2.3 / libjpeg decode_mcu_AC_refine).  `block` is the zigzag
+    coefficient vector; returns the updated EOB run."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement size")
+                val = p1 if br.read(1) else m1
+            # advance over r zero-history coefficients, appending a
+            # correction bit to each nonzero-history one passed
+            while k <= se:
+                c = int(block[k])
+                if c != 0:
+                    if br.read(1) and (c & p1) == 0:
+                        block[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run the band stays as-is EXCEPT existing nonzero
+        # coefficients still receive their correction bits
+        while k <= se:
+            c = int(block[k])
+            if c != 0:
+                if br.read(1) and (c & p1) == 0:
+                    block[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_progressive(data, pos, frame, scan_sel, spec, coeffs,
+                             huff_dc, huff_ac, dri) -> int:
+    """Decode one progressive scan into the coefficient store; returns
+    the stream position where entropy data ended (the caller then steps
+    to the next marker).  spec = (Ss, Se, Ah, Al)."""
+    h, w, comps = frame
+    ss, se, ah, al = spec
+    if not (0 <= ss <= se <= 63) or al > 13:
+        raise ValueError("bad progressive spectral selection")
+    by_cid = {c[0]: c for c in comps}
+    try:
+        scan_comps = [by_cid[cid] for cid, _td, _ta in scan_sel]
+    except KeyError as exc:
+        raise ValueError(f"SOS component {exc} not in frame") from None
+    if len({cid for cid, *_ in scan_sel}) != len(scan_sel):
+        raise ValueError("duplicate SOS component")
+    sel = {cid: (td, ta) for cid, td, ta in scan_sel}
+    br = _BitReader(data, pos)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("DC progressive scan must have Se=0")
+    if not is_dc and len(scan_sel) != 1:
+        raise ValueError("AC progressive scan must be non-interleaved")
+
+    if is_dc:
+        pred = {cid: 0 for cid, *_ in scan_comps}
+        if len(scan_comps) > 1:
+            # interleaved MCU order over the scan's components
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            units = [
+                (my, mx) for my in range(mcus_y) for mx in range(mcus_x)
+            ]
+
+            def blocks_of(unit):
+                my, mx = unit
+                for cid, hs, vs, _tq in scan_comps:
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield cid, my * vs + by, mx * hs + bx
+        else:
+            cid0, hs0, vs0, _ = scan_comps[0]
+            bh, bw = _comp_block_dims(frame, hs0, vs0)
+            units = [(by, bx) for by in range(bh) for bx in range(bw)]
+
+            def blocks_of(unit):
+                yield cid0, unit[0], unit[1]
+
+        count = 0
+        for unit in units:
+            if dri and count and count % dri == 0:
+                br.align_to_marker()
+                pred = {cid: 0 for cid in pred}
+            count += 1
+            for cid, by, bx in blocks_of(unit):
+                block = coeffs[cid][by, bx]
+                if ah == 0:
+                    t = _huff_decode(br, huff_dc[sel[cid][0]])
+                    diff = _extend(br.read(t), t) if t else 0
+                    pred[cid] += diff
+                    block[0] = pred[cid] << al
+                else:
+                    if br.read(1):
+                        block[0] = int(block[0]) | (1 << al)
+        return br.pos
+
+    # AC scan: single component, its actual block grid, row-major
+    cid0, hs0, vs0, _tq0 = scan_comps[0]
+    bh, bw = _comp_block_dims(frame, hs0, vs0)
+    ac_tbl = huff_ac[sel[cid0][1]]
+    eobrun = 0
+    count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and count and count % dri == 0:
+                br.align_to_marker()
+                eobrun = 0
+            count += 1
+            block = coeffs[cid0][by, bx]
+            if ah != 0:
+                eobrun = _refine_ac(br, block, ss, se, al, eobrun, ac_tbl)
+                continue
+            # first AC scan for this band
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_decode(br, ac_tbl)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow")
+                block[k] = _extend(br.read(s), s) << al
+                k += 1
+    return br.pos
+
+
+def _finish_progressive(frame, coeffs, qt) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient store, then the
+    shared upsample/color path."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    m = _IDCT_M
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        cf = coeffs[cid]
+        q = qt[tq]
+        bh, bw = cf.shape[0], cf.shape[1]
+        plane = np.zeros((bh * 8, bw * 8), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = np.zeros(64, np.int64)
+                block[_ZIGZAG] = cf[by, bx] * q
+                spatial = m.T @ block.reshape(8, 8) @ m
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(spatial) + 128, 0, 255
+                )
+        planes[cid] = plane
+    return _combine_planes(planes, comps, h, w, hmax, vmax)
 
 
 # =========================================================================
@@ -583,6 +838,184 @@ def encode_baseline_jpeg(px: np.ndarray) -> bytes:
         + bytes(bw.out)
         + b"\xff\xd9"
     )
+
+
+def _block_coeffs(px: np.ndarray) -> tuple[list[np.ndarray], int, int]:
+    """(H, W, 3) uint8 -> per-component (bh, bw, 64) zigzag coefficient
+    arrays (4:4:4, flat quantization) — shared by the fixture encoders."""
+    h, w, _ = px.shape
+    y = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    cb = 128.0 - 0.168736 * px[:, :, 0] - 0.331264 * px[:, :, 1] + 0.5 * px[:, :, 2]
+    cr = 128.0 + 0.5 * px[:, :, 0] - 0.418688 * px[:, :, 1] - 0.081312 * px[:, :, 2]
+    m = _IDCT_M
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    out = [np.zeros((bh, bwid, 64), np.int64) for _ in range(3)]
+    for ci, plane in enumerate((y, cb, cr)):
+        for by in range(bh):
+            for bx in range(bwid):
+                block = np.zeros((8, 8))
+                ys, xs = by * 8, bx * 8
+                tile = plane[ys : ys + 8, xs : xs + 8]
+                block[: tile.shape[0], : tile.shape[1]] = tile
+                if tile.shape[0] < 8:
+                    block[tile.shape[0] :, :] = block[tile.shape[0] - 1, :]
+                if tile.shape[1] < 8:
+                    block[:, tile.shape[1] :] = block[:, tile.shape[1] - 1][:, None]
+                q = np.rint(m @ (block - 128.0) @ m.T).astype(np.int64)
+                out[ci][by, bx] = q.reshape(64)[_ZIGZAG]
+    return out, bh, bwid
+
+
+def _encode_ac_refine_block(bw, ac_codes, zz, ss: int, se: int, al: int) -> None:
+    """Mirror of _refine_ac for the fixture encoder, following libjpeg's
+    encode_mcu_AC_refine bit ordering: the ZRL flush runs at EVERY
+    nonzero coefficient while r > 15 and k <= EOB (EOB = last
+    newly-significant position) — pending correction bits attach to the
+    symbol whose decoder-side advance actually passes their positions.
+    Single-block EOB runs only; the decoder additionally handles
+    EOBn > 1."""
+    mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if mags[k - ss] == 1:
+            eob = k
+    p_bits: list[int] = []  # correction bits pending since last symbol
+    r = 0
+    for k in range(ss, se + 1):
+        t = mags[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            ln, code = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in p_bits:
+                bw.write(b, 1)
+            p_bits = []
+        if t > 1:
+            p_bits.append(t & 1)
+            continue
+        # newly significant at this bit position
+        ln, code = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        for b in p_bits:
+            bw.write(b, 1)
+        p_bits = []
+        r = 0
+    if r > 0 or p_bits:
+        ln, code = ac_codes[0x00]  # EOB, run length 1
+        bw.write(code, ln)
+        for b in p_bits:
+            bw.write(b, 1)
+
+
+def encode_progressive_jpeg(px: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> PROGRESSIVE (SOF2) 4:4:4 JFIF bytes with flat
+    quantization and a libjpeg-style successive-approximation scan
+    script: DC first (Al=1) -> DC refinement, then per component AC
+    first (Ss=1..63, Al=1) -> AC refinement (Al=0).  All transmitted
+    bits reconstruct the exact coefficients of the baseline encoder, so
+    the round-trip error bound (DCT rounding only) is identical.
+    Fixture/test encoder; not a size-optimized production path."""
+    h, w, _ = px.shape
+    coeffs, bh, bwid = _block_coeffs(px)
+    dc_codes = _encode_huffman_codes(_STD_DC_BITS, _STD_DC_VALS)
+    ac_codes = _encode_huffman_codes(_STD_AC_BITS, _STD_AC_VALS)
+
+    def scan(fn) -> bytes:
+        bw = _BitWriter()
+        fn(bw)
+        bw.flush()
+        return bytes(bw.out)
+
+    def dc_first(bw):
+        pred = [0, 0, 0]
+        for by in range(bh):
+            for bx in range(bwid):
+                for ci in range(3):
+                    v = int(coeffs[ci][by, bx, 0]) >> 1  # point transform
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    t, bits = _magnitude(diff)
+                    ln, code = dc_codes[t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(bits, t)
+
+    def dc_refine(bw):
+        for by in range(bh):
+            for bx in range(bwid):
+                for ci in range(3):
+                    bw.write(int(coeffs[ci][by, bx, 0]) & 1, 1)
+
+    def ac_first(ci):
+        def fn(bw):
+            for by in range(bh):
+                for bx in range(bwid):
+                    zz = coeffs[ci][by, bx]
+                    run = 0
+                    emitted_any = False
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        vt = (abs(v) >> 1) * (1 if v >= 0 else -1)
+                        if vt == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, code = ac_codes[0xF0]
+                            bw.write(code, ln)
+                            run -= 16
+                        t, bits = _magnitude(vt)
+                        ln, code = ac_codes[(run << 4) | t]
+                        bw.write(code, ln)
+                        bw.write(bits, t)
+                        run = 0
+                        emitted_any = True
+                    if run > 0 or not emitted_any:
+                        ln, code = ac_codes[0x00]  # EOB
+                        bw.write(code, ln)
+        return fn
+
+    def ac_refine(ci):
+        def fn(bw):
+            for by in range(bh):
+                for bx in range(bwid):
+                    _encode_ac_refine_block(
+                        bw, ac_codes, coeffs[ci][by, bx], 1, 63, 0
+                    )
+        return fn
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    flat_q = bytes([0]) + bytes([1] * 64)
+    dht_dc = bytes([0x00]) + bytes(_STD_DC_BITS) + _STD_DC_VALS
+    dht_ac = bytes([0x10]) + bytes(_STD_AC_BITS) + _STD_AC_VALS
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    out = (
+        b"\xff\xd8"
+        + seg(0xDB, flat_q)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xC2, sof)
+        + sos([1, 2, 3], 0, 0, 0, 1) + scan(dc_first)
+        + sos([1, 2, 3], 0, 0, 1, 0) + scan(dc_refine)
+    )
+    for ci, cid in enumerate((1, 2, 3)):
+        out += sos([cid], 1, 63, 0, 1) + scan(ac_first(ci))
+    for ci, cid in enumerate((1, 2, 3)):
+        out += sos([cid], 1, 63, 1, 0) + scan(ac_refine(ci))
+    return out + b"\xff\xd9"
 
 
 def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:

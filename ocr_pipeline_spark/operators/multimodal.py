@@ -181,9 +181,9 @@ def decode_png(data: bytes) -> "np.ndarray":
 
 def _decode_image(data: bytes):
     """Pixel decode: PIL when installed; otherwise the pure-Python
-    decoders — PNG (above), baseline JPEG and GIF
+    decoders — PNG (above), baseline + progressive JPEG and GIF
     (operators/imagecodecs.py).  Returns (H, W, C) uint8; ValueError on
-    malformed/unsupported payloads (progressive JPEG, webp, ...), which
+    malformed/unsupported payloads (arithmetic JPEG, webp, ...), which
     image_features degrades to the byte-histogram fallback."""
     if _HAVE_PIL:  # pragma: no cover
         import io

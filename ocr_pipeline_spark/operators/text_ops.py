@@ -218,6 +218,25 @@ def minhash_kernel(text_col: str = "text", out_col: str = "minhash"):
 _MAX_BUCKET = 64
 
 
+def log_overflow_metrics(observation, label: str) -> None:
+    """Surface a bucket-audit Observation in the driver log without
+    blocking the caller: Observation.get blocks until the first action
+    consumes the observed plan, so a daemon thread waits for the metrics
+    and prints them — the "no silent caps" audit trail is then visible
+    in any run that executes the query, with zero extra computation.
+    If the query is never executed the thread parks harmlessly."""
+    import threading
+
+    def _wait() -> None:
+        try:
+            metrics = observation.get
+        except Exception:
+            return
+        print(f"[lineage] {label}: {metrics}", flush=True)
+
+    threading.Thread(target=_wait, daemon=True, name=f"obs-{label}").start()
+
+
 def intra_bucket_pairs(
     grouped: DataFrame,
     max_bucket: int = _MAX_BUCKET,
@@ -259,9 +278,14 @@ def intra_bucket_pairs(
         raise ValueError(f"overflow must be 'drop' or 'star', got {overflow!r}")
     sized = grouped.withColumn("_n", F.size("ids"))
     if observation is not None:
+        # "overflow_buckets" is the semantically honest name (star mode
+        # degrades over-cap buckets, it does not drop them); the legacy
+        # "dropped_buckets" alias is kept so existing lineage consumers
+        # keep reading a value that is correct in drop mode.
         sized = sized.observe(
             observation,
             F.count(F.lit(1)).alias("total_buckets"),
+            F.count(F.when(F.col("_n") > max_bucket, 1)).alias("overflow_buckets"),
             F.count(F.when(F.col("_n") > max_bucket, 1)).alias("dropped_buckets"),
         )
     full_expr = (
@@ -345,58 +369,176 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     max_bucket: int = _MAX_BUCKET,
     observation=None,
+    max_levels: int = 20,
 ) -> DataFrame:
-    """SimHash near-dup pairs at scale: pigeonhole banding + exact
-    popcount verify, all JVM after the signature kernel.
+    """SimHash near-dup pairs at scale: signature-deduplicated
+    recursive pigeonhole banding + exact popcount verify, all JVM after
+    the signature kernel.
 
-    The 64-bit signature splits into `max_hamming + 1` bands; two
-    signatures within `max_hamming` bits MUST agree exactly on at least
-    one band (pigeonhole), so banding misses nothing — candidates are a
-    banded group-by shuffle (the MinHash-LSH shape, same hot-bucket
-    star-overflow policy via intra_bucket_pairs), never a cross join,
-    and recall is EXACT, not probabilistic.  The signature rides the
-    bucket rows as a (id, sim) struct, so verification is one inline
-    `bit_count(a ^ b)` per candidate — no hydration join at all
-    (struct pair ordering is lexicographic, i.e. by id, so the
-    id_a < id_b convention is preserved).  Output:
-    (id_a, id_b, hamming) with id_a < id_b.
+    Output contract (exact at ANY corpus size, linear in true cluster
+    structure):
+
+    - one ``(rep_a, rep_b, hamming)`` row for EVERY pair of *distinct*
+      signatures within ``max_hamming`` bits, where rep = min doc id of
+      that signature's duplicate group — recall over distinct
+      signatures is EXACT, not probabilistic;
+    - one ``(rep, member, 0)`` star edge for every non-representative
+      member of an identical-signature group (a 10^6-doc mirror
+      cluster is a hamming-0 clique whose exhaustive Θ(m²) pair set no
+      exact engine can emit at scale; the star is its linear spanning
+      encoding, and every true pair stays connected through verified
+      intermediaries — component-level dedup is exact).
+
+    Mechanics: identical signatures collapse first (one shuffle by
+    signature, min-id over a window — never a collect_list).  Distinct
+    signatures are banded into ``max_hamming + 1`` chunks; a near pair
+    must agree exactly on some chunk (pigeonhole).  A bucket larger
+    than ``max_bucket`` never pays the quadratic expansion: its
+    members re-band on their *remaining* bits (the differing bits of a
+    near pair all lie outside the agreed chunks, so pigeonhole applies
+    again inside the bucket), recursively until every bucket fits —
+    guaranteed, because a bucket with ``rem_n`` undecided bits holds at
+    most ``2^rem_n`` distinct members, so recursion bottoms out by
+    ``rem_n <= log2(max_bucket)`` (~4 levels for 64-bit/t=3/cap 64;
+    0 extra levels for non-adversarial corpora).
+
+    Candidates are always banded group-by shuffles — never a cross
+    join; the signature rides the bucket rows as a struct so the final
+    verification is one inline ``bit_count(a ^ b)`` per candidate (no
+    hydration join).  The recursion runs a driver loop with a lazy
+    localCheckpoint per level so the signature kernel executes once
+    regardless of depth.  Output: (id_a, id_b, hamming), id_a < id_b,
+    distinct.
     """
     n_bands = max_hamming + 1
-    width = 64 // n_bands
-    sims = df.select(
-        F.struct(
-            F.col(id_col).alias("i"), F.col(sim_col).alias("s")
-        ).alias("_is")
+    # Phase 1 — collapse identical signatures.  A mirror cluster of m
+    # identical docs is a hamming-0 clique whose exhaustive pair set is
+    # Θ(m²); no exact engine can emit that at corpus scale, and feeding
+    # duplicates into the banding recursion is worse: an identical-sig
+    # group never splits, so every level would duplicate its members
+    # into each of ~n_bands over-cap sub-buckets — exponential row
+    # growth.  Instead: one shuffle by signature, min-id representative
+    # per group, linear star edges (rep, member, hamming 0) via a
+    # window (never a collect_list — a 10^6-member group must not
+    # become one array).  The recursion then runs over DISTINCT
+    # signatures only, where buckets provably split: two distinct
+    # members of a bucket agree on all consumed bits, so they differ
+    # within the remaining bits, and a bucket with rem_n remaining bits
+    # holds at most 2^rem_n distinct members — once rem_n <=
+    # log2(max_bucket), no bucket can be over cap.
+    from pyspark.sql import Window as _W
+
+    with_rep = df.select(
+        F.col(id_col).alias("i"), F.col(sim_col).cast("long").alias("s")
+    ).withColumn("_rep", F.min("i").over(_W.partitionBy("s")))
+    star_edges = with_rep.filter(F.col("i") != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"),
+        F.col("i").alias("id_b"),
+        F.lit(0).alias("hamming"),
     )
-    banded = sims.select(
-        "_is",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("_is.s"), b * width).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                    for b in range(n_bands)
-                ]
+    member = F.struct(
+        F.col("i"),
+        F.col("s"),
+        F.col("s").alias("rem"),
+        F.lit(64).alias("rem_n"),
+    )
+    work = (
+        with_rep.filter(F.col("i") == F.col("_rep"))
+        .select(F.lit(0).cast("long").alias("pkey"), member.alias("m"))
+    )
+
+    # Per-member banding of the remaining bits: w = chunk width,
+    # j = chunk index, cw = this chunk's width (the top chunk may be
+    # narrower), chunk = the agreed-bit value, and the child member
+    # carries rem with the agreed chunk spliced out.  All shift amounts
+    # are < 64 by construction (j*w < rem_n <= 64 and, in the non-top
+    # branch, j*w + cw < rem_n), so Java's mod-64 shift wraparound is
+    # never hit.
+    _w = f"greatest(m.rem_n div {n_bands}, 1)"
+    _cw = f"least({_w}, m.rem_n - j * {_w})"
+    _off = f"(j * {_w})"
+    _chunk = f"shiftrightunsigned(m.rem, {_off}) & (shiftleft(1L, {_cw}) - 1)"
+    _child = f"""named_struct(
+        'i', m.i, 's', m.s,
+        'rem', (m.rem & (shiftleft(1L, {_off}) - 1)) |
+               (CASE WHEN {_off} + {_cw} >= m.rem_n THEN 0L
+                     ELSE shiftleft(
+                         shiftrightunsigned(m.rem, {_off} + {_cw}), {_off})
+                END),
+        'rem_n', m.rem_n - {_cw})"""
+    _full_pairs = (
+        "filter(flatten(transform(ids, a -> transform(ids, b -> "
+        "struct(a, b)))), p -> p.a.i < p.b.i)"
+    )
+
+    pair_frames: list[DataFrame] = []
+    for level in range(max_levels):
+        banded = work.select(
+            "pkey",
+            F.expr(
+                f"explode(sequence(0, cast(ceil(m.rem_n / {_w}) as int) - 1))"
+            ).alias("j"),
+            F.col("m"),
+        ).select(
+            "pkey",
+            "j",
+            F.expr(_chunk).alias("chunk"),
+            F.expr(_child).alias("c"),
+        )
+        grouped = banded.groupBy("pkey", "j", "chunk").agg(
+            F.collect_list("c").alias("ids")
+        )
+        # rem_n is uniform within a bucket (same parent, same agreed
+        # chunk width), so the first member's value is the bucket's
+        sized = grouped.withColumn("_n", F.size("ids")).withColumn(
+            "_rem_n", F.element_at("ids", 1).getField("rem_n")
+        )
+        if observation is not None and level == 0:
+            sized = sized.observe(
+                observation,
+                F.count(F.lit(1)).alias("total_buckets"),
+                F.count(F.when(F.col("_n") > max_bucket, 1)).alias(
+                    "overflow_buckets"
+                ),
             )
-        ).alias("band", "chunk"),
-    )
-    grouped = banded.groupBy("band", "chunk").agg(
-        F.collect_list("_is").alias("ids")
-    )
-    pairs = intra_bucket_pairs(
-        grouped, max_bucket, observation, overflow="star"
-    ).distinct()
-    return (
-        pairs.select(
-            F.col("id_a.i").alias("id_a"),
-            F.col("id_b.i").alias("id_b"),
+        # lazy checkpoint: singleton buckets are dropped first (they
+        # emit nothing and cannot recurse), then one materialization
+        # serves the under-cap pair expansion, the over-cap recursion,
+        # and the emptiness probe — the signature kernel runs once.
+        multi = sized.filter(F.col("_n") >= 2).localCheckpoint(eager=False)
+        # recurse only while pigeonhole banding is possible (rem_n >=
+        # n_bands).  Below that a bucket holds < 2^n_bands distinct
+        # members — constant-bounded, expand directly.  (With
+        # max_bucket >= 2^n_bands this branch is provably unreachable:
+        # distinct-sig buckets at rem_n bits hold <= 2^rem_n members.)
+        emit = (F.col("_n") <= max_bucket) | (F.col("_rem_n") < n_bands)
+        pair_frames.append(
+            multi.filter(emit)
+            .select(F.explode(F.expr(_full_pairs)).alias("p"))
+        )
+        over = multi.filter(~emit)
+        if over.isEmpty():
+            break
+        work = over.select(
+            F.xxhash64("pkey", "j", "chunk").alias("pkey"),
+            F.explode("ids").alias("m"),
+        )
+
+    candidates = pair_frames[0]
+    for extra in pair_frames[1:]:
+        candidates = candidates.unionByName(extra)
+    rep_pairs = (
+        candidates.select(
+            F.col("p.a.i").alias("id_a"),
+            F.col("p.b.i").alias("id_b"),
             F.bit_count(
-                F.col("id_a.s").bitwiseXOR(F.col("id_b.s"))
+                F.col("p.a.s").bitwiseXOR(F.col("p.b.s"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+    return rep_pairs.unionByName(star_edges)
 
 
 

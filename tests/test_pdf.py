@@ -68,6 +68,64 @@ def test_split_pdf_pages_text_matches_structural_path():
     assert split_pdf_pages_text(b"<html>not a pdf</html>") == []
 
 
+def test_split_pdf_pages_text_pymupdf_branch(monkeypatch):
+    """Exercise the PyMuPDF environment branch without the dependency
+    (r3 VERDICT #6): with a stub fitz module injected, the TEXT splitter
+    must yield page.get_text() output — and the image splitter pixmap
+    PNG bytes — instead of falling through to the structural path."""
+    import ocr_pipeline_spark.sources.pdf as pdf_mod
+
+    class _FakePage:
+        def __init__(self, i):
+            self.i = i
+
+        def get_text(self):
+            return f"mupdf text of page {self.i}"
+
+        def get_pixmap(self, dpi=72):
+            page = self
+
+            class _Pix:
+                def tobytes(self, fmt):
+                    assert fmt == "png"
+                    return b"PNG-" + str(page.i).encode()
+
+            return _Pix()
+
+    class _FakeDoc:
+        closed = False
+
+        def __iter__(self):
+            return iter(_FakePage(i) for i in range(1, 4))
+
+        def close(self):
+            _FakeDoc.closed = True
+
+    class _FakeFitz:
+        @staticmethod
+        def open(stream, filetype):
+            assert filetype == "pdf" and stream[:5] == b"%PDF-"
+            return _FakeDoc()
+
+    monkeypatch.setattr(pdf_mod, "_fitz", _FakeFitz, raising=False)
+    monkeypatch.setattr(pdf_mod, "_HAVE_MUPDF", True)
+
+    pdf = build_pdf(["alpha", "beta", "gamma"])
+    assert pdf_mod.split_pdf_pages_text(pdf) == [
+        {"page_num": 1, "text": "mupdf text of page 1"},
+        {"page_num": 2, "text": "mupdf text of page 2"},
+        {"page_num": 3, "text": "mupdf text of page 3"},
+    ]
+    assert _FakeDoc.closed
+    assert pdf_mod.split_pdf_pages(pdf) == [
+        {"page_num": 1, "content": b"PNG-1"},
+        {"page_num": 2, "content": b"PNG-2"},
+        {"page_num": 3, "content": b"PNG-3"},
+    ]
+    # guard inputs still short-circuit before touching fitz
+    assert pdf_mod.split_pdf_pages_text(b"notpdf") == []
+
+
 def test_page_text_escapes_and_tj_arrays():
     content = (
         rb"BT (paren \( and \) ok) Tj "

@@ -240,3 +240,31 @@ def test_jpeg_decode_roundtrip_property(h, w, seed):
     out = decode_jpeg(encode_baseline_jpeg(arr))
     assert out.shape == arr.shape
     assert np.abs(out.astype(int) - arr.astype(int)).max() <= 6
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 33), st.integers(1, 33),
+    st.integers(0, 2**32 - 1),
+)
+def test_progressive_jpeg_decodes_identically_to_baseline(h, w, seed):
+    """SOF2 successive-approximation streams (DC Al=1->0, AC Ss=1..63
+    Al=1->0) transmit exactly the baseline coefficients, so the
+    progressive decode must be BIT-IDENTICAL to the baseline decode of
+    the same pixels — for every shape including non-multiple-of-8
+    edges."""
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.imagecodecs import (
+        decode_jpeg,
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    arr = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_progressive_jpeg(arr)),
+        decode_jpeg(encode_baseline_jpeg(arr)),
+    )
