@@ -7,9 +7,12 @@ entry(spark)   — flagship: the full extraction pipeline over the
 queries()      — operators from SURVEY.md §2 + training-data-pipeline
                  ops, each as (spark, sf_dir) -> DataFrame.
 oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query
-                 (same column names/types).  Kernel-based queries
-                 (extraction, lang-id, simhash, minhash-LSH) have no
-                 SQL equivalent and get the driver's rows-only check.
+                 (same column names/types).  The byte-deterministic
+                 extraction family is oracled against single-process
+                 golden-witness parquets (scripts/gen_witness.py);
+                 remaining kernel-based queries (lang-id, simhash,
+                 minhash-LSH, ANN) get the driver's rows-only check
+                 plus independent pytest verification.
 """
 
 from __future__ import annotations
@@ -21,6 +24,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
+
+# Golden-witness fixtures (scripts/gen_witness.py): single-process
+# kernel-loop outputs for the byte-deterministic extraction family,
+# giving them full DuckDB hash oracles (SELECT over the witness) even
+# though the computation itself is not SQL-expressible.  Pinned to the
+# driver's correctness scale (sf0.01).
+_WITNESS_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "witness"
+)
 
 
 def _pack_n_shards() -> int:
@@ -640,17 +652,27 @@ def _q_simhash_dup_pairs(spark, sf_dir):
         simhash_near_dup_pairs,
     )
 
+    from pyspark.sql import Observation
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = d.mapInPandas(
         simhash_kernel(), schema="doc_id long, text string, simhash long"
     )
-    return simhash_near_dup_pairs(
-        sigs, "doc_id", "simhash", max_hamming=3
+    from ocr_pipeline_spark.operators.text_ops import log_overflow_metrics
+
+    obs = Observation()
+    out = simhash_near_dup_pairs(
+        sigs, "doc_id", "simhash", max_hamming=3, observation=obs
     ).orderBy("id_a", "id_b")
+    log_overflow_metrics(obs, "simhash_dup_pairs bucket audit")
+    return out
 
 
 def _q_minhash_dup_pairs(spark, sf_dir):
+    from pyspark.sql import Observation
+
     from ocr_pipeline_spark.operators.text_ops import (
+        log_overflow_metrics,
         lsh_candidate_pairs,
         minhash_kernel,
     )
@@ -660,7 +682,12 @@ def _q_minhash_dup_pairs(spark, sf_dir):
         minhash_kernel(),
         schema="doc_id long, text string, minhash array<bigint>",
     )
-    return lsh_candidate_pairs(sigs, "doc_id").orderBy("id_a", "id_b")
+    obs = Observation()
+    out = lsh_candidate_pairs(sigs, "doc_id", observation=obs).orderBy(
+        "id_a", "id_b"
+    )
+    log_overflow_metrics(obs, "minhash_dup_pairs bucket audit")
+    return out
 
 
 def _q_ann_lsh(spark, sf_dir):
@@ -1034,6 +1061,8 @@ def _q_events_sessionized_stream(spark, sf_dir):
 
     import os
 
+    import atexit
+
     base = tempfile.mkdtemp(prefix="sess_stream_q_")
     sink, ckpt = f"{base}/sink", f"{base}/ckpt"
     try:
@@ -1057,20 +1086,25 @@ def _q_events_sessionized_stream(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-        # materialize through Arrow so the temp sink can be deleted
-        # before the caller's action runs
-        pdf = (
-            spark.read.parquet(sink)
-            .orderBy("user_id", "session_start")
-            .toPandas()
-        )
-    finally:
+    except BaseException:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        pdf,
-        "user_id bigint, session_start timestamp, session_end timestamp, "
-        "n_events int, session_value double",
-    ).orderBy("user_id", "session_start")
+        raise
+    # Return the session table LAZILY: at 100x scale it does not fit the
+    # driver, so no toPandas() round-trip — the temp sink outlives this
+    # call (process-exit cleanup) and the caller's action streams straight
+    # from the parquet files.
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return (
+        spark.read.parquet(sink)
+        .select(
+            F.col("user_id").cast("bigint"),
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("int").alias("n_events"),
+            F.col("session_value").cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
 
 
 def _q_embedding_quantize(spark, sf_dir):
@@ -1368,11 +1402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": _q_train_test_split,
         "pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
-        # --- no DuckDB oracle (independent pytest verification) below ---
         "extract_documents": _q_extract_documents,
         "assemble_documents": _q_assemble_documents,
         "extract_pdf_documents": _q_extract_pdf_documents,
         "pdf_page_explode": _q_pdf_page_explode,
+        # --- no DuckDB oracle (independent pytest verification) below ---
         "lang_simhash": _q_lang_simhash,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
@@ -1670,7 +1704,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_start, session_end, n_events,
                    session_value
             FROM sessions
-            WHERE session_end + INTERVAL 30 MINUTE <=
+            -- strict <: FlatMapGroupsWithStateExec fires an event-time
+            -- timeout only when timeoutTimestamp < watermark (strict), so
+            -- a session whose gap boundary EQUALS the final watermark is
+            -- never emitted by the stream and must not be counted here
+            WHERE session_end + INTERVAL 30 MINUTE <
                   (SELECT max(ts) FROM events)
             ORDER BY user_id, session_start
         """,
@@ -2194,8 +2232,34 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY id_a, id_b HAVING count(*) >= 3
             ORDER BY id_a, id_b
         """,
-        # extract_documents / lang_simhash / minhash_dup_pairs / ann_lsh /
+        # Golden-witness oracles: the byte-deterministic extraction
+        # family is checked against single-process kernel-loop fixtures
+        # (scripts/gen_witness.py; tests/test_witness.py pins freshness,
+        # tests/test_spark_job.py proves distributed == single-process),
+        # so the driver's hash compare covers the full extraction output
+        # even though the computation is not SQL-expressible.
+        "extract_documents": f"""
+            SELECT url, page_type, method, markdown, n_chars
+            FROM read_parquet('{_WITNESS_DIR}/extract_documents.parquet')
+            ORDER BY url
+        """,
+        "assemble_documents": f"""
+            SELECT doc_key, n_pages, n_figures, n_chars
+            FROM read_parquet('{_WITNESS_DIR}/assemble_documents.parquet')
+            ORDER BY doc_key
+        """,
+        "extract_pdf_documents": f"""
+            SELECT doc_key, n_pages, n_chars
+            FROM read_parquet('{_WITNESS_DIR}/extract_pdf_documents.parquet')
+            ORDER BY doc_key
+        """,
+        "pdf_page_explode": f"""
+            SELECT url, page_num, n_bytes, text
+            FROM read_parquet('{_WITNESS_DIR}/pdf_page_explode.parquet')
+            ORDER BY url, page_num
+        """,
+        # lang_simhash / minhash_dup_pairs / simhash_dup_pairs / ann_lsh /
         # ann_ivf / near_dup_verified / embedding_near_dup_lsh /
-        # pdf_page_explode: kernel-based, not SQL-expressible ->
-        # rows-only driver check.
+        # media_features: kernel-based, not SQL-expressible -> rows-only
+        # driver check + independent pytest verification.
     }

@@ -28,6 +28,40 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def _cpu_idle_frac(window: float = 0.5) -> float:
+    """Machine-condition probe: fraction of CPU time the box spent idle
+    over a short window in which the bench itself runs nothing.  This
+    box suffers transient co-tenant bursts (BENCH/BASELINE.md) that can
+    halve a leg's measured rate; sampling /proc/stat idle immediately
+    before a leg stamps a weather report into the artifact so a poisoned
+    number is recognizable, and lets the harness re-run a leg that
+    started under load."""
+    def snap():
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return vals[3] + vals[4], sum(vals)  # idle+iowait, total
+
+    i0, t0 = snap()
+    time.sleep(window)
+    i1, t1 = snap()
+    return round((i1 - i0) / max(1, t1 - t0), 3)
+
+
+def _probe_idle(label: str, idle_fracs: dict, threshold: float = 0.85,
+                retries: int = 2) -> float:
+    """Sample pre-leg idle; if a co-tenant burst is in progress, wait it
+    out (up to `retries` short waits) before letting the leg start.
+    Records the final sample under `label`."""
+    frac = _cpu_idle_frac()
+    for _ in range(retries):
+        if frac >= threshold:
+            break
+        time.sleep(4.0)
+        frac = _cpu_idle_frac()
+    idle_fracs[label] = frac
+    return frac
+
+
 # pages per unit SF: sf0.1 -> 400k synthetic pages (~650 MB parquet)
 PAGES_PER_SF = 4_000_000
 SEED = 42
@@ -62,6 +96,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict = {}
+    idle_fracs: dict[str, float] = {}
+    extras["idle_frac"] = idle_fracs
 
     pages_path = materialize_pages(spark, n_pages)
 
@@ -87,8 +123,15 @@ def main() -> None:
         return time.time() - t0, agg
 
     # (a) north-rule plan: salted host co-location shuffle before the kernel
+    # n_runs: best-of-2, plus one extra run when the pre-leg idle probe
+    # says a co-tenant burst survived the wait — the best run measures
+    # the job, the worst measures the neighbor
+    def _n_runs(idle: float) -> int:
+        return 3 if idle < 0.85 else 2
+
+    idle = _probe_idle("extract_pages", idle_fracs)
     t_extract, agg = min(
-        (_timed_extract(True) for _ in range(2)), key=lambda r: r[0]
+        (_timed_extract(True) for _ in range(_n_runs(idle))), key=lambda r: r[0]
     )
     timings["extract_pages"] = round(t_extract, 3)
     extras["docs_per_sec"] = round(agg["n"] / t_extract, 1)
@@ -96,7 +139,10 @@ def main() -> None:
     extras["chars_out"] = int(agg["chars"])
 
     # (b) map-only fast path (no input shuffle) — byte-identical output
-    t_map, _ = min((_timed_extract(False) for _ in range(2)), key=lambda r: r[0])
+    idle = _probe_idle("extract_pages_maponly", idle_fracs)
+    t_map, _ = min(
+        (_timed_extract(False) for _ in range(_n_runs(idle))), key=lambda r: r[0]
+    )
     timings["extract_pages_maponly"] = round(t_map, 3)
     extras["docs_per_sec_maponly"] = round(n_pages / t_map, 1)
 
@@ -118,7 +164,8 @@ def main() -> None:
         finally:
             shutil.rmtree(wh, ignore_errors=True)
 
-    t_pipe = min(_timed_pipeline() for _ in range(2))
+    idle = _probe_idle("extract_pipeline_write", idle_fracs)
+    t_pipe = min(_timed_pipeline() for _ in range(_n_runs(idle)))
     timings["extract_pipeline_write"] = round(t_pipe, 3)
     extras["docs_per_sec_e2e_write"] = round(n_pages / t_pipe, 1)
 
@@ -144,6 +191,7 @@ def main() -> None:
             "dup_spans", "filter_funnel",
         ]
         qs = entry_mod.queries()
+        _probe_idle("query_suite_pre", idle_fracs)
         # best-of-2 per query, matching the extraction legs: a single JVM
         # session drifts ~30% front-to-back on this box (BENCH/BASELINE.md),
         # which manufactured phantom regressions in BENCH_r02. The best run
@@ -156,6 +204,7 @@ def main() -> None:
                 return time.time() - t0
 
             timings[name] = round(min(_timed_query() for _ in range(2)), 3)
+        idle_fracs["query_suite_post"] = _cpu_idle_frac()
 
     total = round(sum(timings.values()), 3)
     result = {
