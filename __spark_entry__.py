@@ -1406,15 +1406,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_documents": _q_assemble_documents,
         "extract_pdf_documents": _q_extract_pdf_documents,
         "pdf_page_explode": _q_pdf_page_explode,
-        # --- no DuckDB oracle (independent pytest verification) below ---
+        # --- oracled (golden witness) but outside the 50-entry driver
+        # window; green under the identical mini-driver compare in
+        # tests/test_entry_contract.py ---
         "lang_simhash": _q_lang_simhash,
-        "minhash_dup_pairs": _q_minhash_dup_pairs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "minhash_dup_pairs": _q_minhash_dup_pairs,
+        "near_dup_verified": _q_near_dup_verified,
+        "media_features": _q_media_features,
+        # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
-        "near_dup_verified": _q_near_dup_verified,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "media_features": _q_media_features,
     }
 
 
@@ -2258,8 +2261,37 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_WITNESS_DIR}/pdf_page_explode.parquet')
             ORDER BY url, page_num
         """,
-        # lang_simhash / minhash_dup_pairs / simhash_dup_pairs / ann_lsh /
-        # ann_ivf / near_dup_verified / embedding_near_dup_lsh /
-        # media_features: kernel-based, not SQL-expressible -> rows-only
-        # driver check + independent pytest verification.
+        "lang_simhash": f"""
+            SELECT doc_id, lang_pred, simhash
+            FROM read_parquet('{_WITNESS_DIR}/lang_simhash.parquet')
+            ORDER BY doc_id
+        """,
+        # simhash witness = BRUTE-FORCE all-pairs popcount over
+        # single-process signatures (rep-compression contract) —
+        # independent of the banding machinery entirely
+        "simhash_dup_pairs": f"""
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('{_WITNESS_DIR}/simhash_dup_pairs.parquet')
+            ORDER BY id_a, id_b
+        """,
+        "minhash_dup_pairs": f"""
+            SELECT id_a, id_b
+            FROM read_parquet('{_WITNESS_DIR}/minhash_dup_pairs.parquet')
+            ORDER BY id_a, id_b
+        """,
+        "near_dup_verified": f"""
+            SELECT id_a, id_b, jaccard
+            FROM read_parquet('{_WITNESS_DIR}/near_dup_verified.parquet')
+            ORDER BY id_a, id_b
+        """,
+        "media_features": f"""
+            SELECT media_id, format, width, height, feature_mass
+            FROM read_parquet('{_WITNESS_DIR}/media_features.parquet')
+            ORDER BY media_id
+        """,
+        # ann_lsh / ann_ivf / embedding_near_dup_lsh: float scores whose
+        # accumulation order differs across engines (BLAS vs sequential)
+        # -> a value-hash witness would be fragile at rounding
+        # boundaries; they keep the rows-only driver check + recall
+        # tests against their DuckDB-oracled exact twins.
     }

@@ -12,15 +12,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _payload(media_id: int, seed: int) -> bytes | None:
-    """media_id -> deterministic payload; cycles through GIF, JPEG,
-    empty, and non-image garbage so every decode branch is hit."""
+    """media_id -> deterministic payload; cycles through GIF, baseline
+    JPEG, empty, non-image garbage, progressive JPEG, and PNG so every
+    decode branch is hit."""
     from ocr_pipeline_spark.operators.imagecodecs import (
         encode_baseline_jpeg,
         encode_gif,
+        encode_png,
+        encode_progressive_jpeg,
     )
 
     rng = np.random.RandomState(seed * 1_000_003 + media_id)
-    kind = media_id % 4
+    kind = media_id % 6
     h, w = int(rng.randint(4, 24)), int(rng.randint(4, 24))
     if kind == 0:
         levels = np.linspace(0, 255, 8, dtype=np.uint8)
@@ -31,6 +34,12 @@ def _payload(media_id: int, seed: int) -> bytes | None:
         return encode_baseline_jpeg(arr)
     if kind == 2:
         return None
+    if kind == 4:
+        arr = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        return encode_progressive_jpeg(arr)
+    if kind == 5:
+        arr = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        return encode_png(arr)
     return b"not-an-image:" + rng.bytes(64)
 
 

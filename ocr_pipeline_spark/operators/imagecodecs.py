@@ -554,6 +554,34 @@ def _finish_progressive(frame, coeffs, qt) -> np.ndarray:
 
 
 # =========================================================================
+# PNG — fixture encoder (decode lives in operators/multimodal.py)
+# =========================================================================
+def encode_png(px: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> 8-bit truecolor PNG (filter 0, one IDAT).
+    Lossless: decode_png round-trips bit-exactly.  Fixture/test encoder."""
+    import zlib
+
+    h, w, _ = px.shape
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        body = tag + payload
+        return (
+            struct.pack(">I", len(payload))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# =========================================================================
 # GIF — LZW
 # =========================================================================
 def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:

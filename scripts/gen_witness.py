@@ -23,6 +23,7 @@ import os
 import re
 import sys
 
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -177,11 +178,173 @@ def witness_pdf_page_explode() -> pd.DataFrame:
     )
 
 
+def _docs_texts() -> pd.DataFrame:
+    return pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).sort_values("doc_id")
+
+
+def witness_lang_simhash() -> pd.DataFrame:
+    """Twin of _q_lang_simhash: single-process identify_language +
+    simhash64 per document (the kernels wrap these same pure
+    functions); columns (doc_id, lang_pred, simhash)."""
+    from ocr_pipeline_spark.operators.text_ops import identify_language, simhash64
+
+    docs = _docs_texts()
+    rows = []
+    for d, t in zip(docs.doc_id, docs.text):
+        s = simhash64(t or "")
+        rows.append(
+            {
+                "doc_id": int(d),
+                "lang_pred": identify_language(t or ""),
+                "simhash": s - (1 << 64) if s >= (1 << 63) else s,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def witness_simhash_dup_pairs() -> pd.DataFrame:
+    """Twin of _q_simhash_dup_pairs via BRUTE FORCE — an all-pairs
+    popcount over single-process signatures, compressed to the
+    operator's documented contract (min-id rep per identical-signature
+    group + hamming-0 stars + exhaustive rep-rep pairs at hamming <= 3).
+    Genuinely independent of the banding machinery."""
+    from ocr_pipeline_spark.operators.text_ops import simhash64
+
+    docs = _docs_texts()
+    sigs = {int(d): simhash64(t or "") for d, t in zip(docs.doc_id, docs.text)}
+    rep: dict[int, int] = {}
+    for i in sorted(sigs):
+        rep.setdefault(sigs[i], i)
+    rows = []
+    for i in sorted(sigs):
+        r = rep[sigs[i]]
+        if r != i:
+            rows.append({"id_a": r, "id_b": i, "hamming": 0})
+    reps = sorted(rep.values())
+    for x in range(len(reps)):
+        for y in range(x + 1, len(reps)):
+            a, b = reps[x], reps[y]
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                rows.append({"id_a": a, "id_b": b, "hamming": h})
+    return (
+        pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+def _minhash_candidate_pairs(sigs: dict[int, list[int]], max_bucket: int = 64):
+    """Single-process twin of lsh_candidate_pairs: band by the raw
+    4-row signature tuple (the Spark side buckets by xxhash64 of the
+    same tuple — identical grouping modulo negligible hash collisions),
+    intra-bucket pairs with star overflow, distinct."""
+    from ocr_pipeline_spark.operators.text_ops import _N_BANDS, _N_PERM
+
+    rows_per_band = _N_PERM // _N_BANDS
+    buckets: dict[tuple, list[int]] = {}
+    for i, sig in sigs.items():
+        for b in range(_N_BANDS):
+            key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        if len(ids) < 2:
+            continue
+        if len(ids) <= max_bucket:
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    pairs.add((ids[x], ids[y]))
+        else:
+            for other in ids[1:]:
+                pairs.add((ids[0], other))
+    return pairs
+
+
+def witness_minhash_dup_pairs() -> pd.DataFrame:
+    """Twin of _q_minhash_dup_pairs: single-process minhash signatures
+    + band-bucket pair generation; columns (id_a, id_b)."""
+    from ocr_pipeline_spark.operators.text_ops import minhash_signature
+
+    docs = _docs_texts()
+    sigs = {
+        int(d): minhash_signature(t or "")
+        for d, t in zip(docs.doc_id, docs.text)
+    }
+    pairs = sorted(_minhash_candidate_pairs(sigs))
+    return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+
+def witness_near_dup_verified() -> pd.DataFrame:
+    """Twin of _q_near_dup_verified: minhash-LSH candidates verified by
+    char-3-gram Jaccard at threshold 0.3; columns (id_a, id_b,
+    jaccard).  round() here and in the Arrow kernel are the same
+    CPython round on the same double — bit-identical."""
+    from ocr_pipeline_spark.operators.text_ops import (
+        minhash_signature,
+        ngram_jaccard,
+    )
+
+    docs = _docs_texts()
+    texts = {int(d): t or "" for d, t in zip(docs.doc_id, docs.text)}
+    sigs = {i: minhash_signature(t) for i, t in texts.items()}
+    rows = []
+    for a, b in sorted(_minhash_candidate_pairs(sigs)):
+        j = round(ngram_jaccard(texts[a], texts[b]), 4)
+        if j >= 0.3:
+            rows.append({"id_a": a, "id_b": b, "jaccard": j})
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+def witness_media_features() -> pd.DataFrame:
+    """Twin of _q_media_features: single-process payload generation +
+    meta probe + pixel features; feature_mass mirrors the Spark query's
+    aggregate-then-round exactly (sequential f64 accumulation of f32
+    features, then HALF_UP at 4 dp — the JVM BigDecimal semantics)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ocr_pipeline_spark.fixtures.gen_media import _payload
+    from ocr_pipeline_spark.operators.multimodal import (
+        image_features,
+        probe_image,
+    )
+
+    rows = []
+    for media_id in range(200):
+        data = _payload(media_id, 42)
+        meta = probe_image(data)
+        feats = image_features(data, dim=8)
+        mass = 0.0
+        for x in feats:
+            mass += float(np.float32(x))
+        mass = float(
+            Decimal(repr(mass)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+        rows.append(
+            {
+                "media_id": media_id,
+                "format": meta["format"],
+                "width": meta["width"],
+                "height": meta["height"],
+                "feature_mass": mass,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 WITNESSES = {
     "extract_documents": witness_extract_documents,
     "assemble_documents": witness_assemble_documents,
     "extract_pdf_documents": witness_extract_pdf_documents,
     "pdf_page_explode": witness_pdf_page_explode,
+    "lang_simhash": witness_lang_simhash,
+    "simhash_dup_pairs": witness_simhash_dup_pairs,
+    "minhash_dup_pairs": witness_minhash_dup_pairs,
+    "near_dup_verified": witness_near_dup_verified,
+    "media_features": witness_media_features,
 }
 
 

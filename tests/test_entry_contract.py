@@ -58,21 +58,25 @@ def test_every_oracle_key_has_a_query():
         assert k in qs
 
 
-def test_oracled_queries_inside_driver_window():
+def test_oracled_queries_fill_driver_window():
     """The driver's correctness harness evaluates only the first 50
-    queries() entries.  Pin the ordering contract: every oracled key must
-    precede every non-oracled key, and every oracled key must land inside
-    the 50-entry window (r3 regression: 8 green queries appended past the
-    window silently vanished from the hard signal)."""
+    queries() entries.  Pin the ordering contract: every one of the
+    first 50 entries must be oracled (the hard-signal window is fully
+    utilized — r3 regression: 8 green queries appended past the window
+    silently vanished), and every oracled key must precede every
+    non-oracled key (oracled overflow past 50 is covered by the
+    mini-driver compare below)."""
     keys = list(entry_mod.queries())
     oracled = set(ORACLE_KEYS)
-    positions = [i for i, k in enumerate(keys) if k in oracled]
+    assert all(k in oracled for k in keys[:50]), (
+        "a no-oracle query sits inside the driver's 50-entry window"
+    )
     first_unoracled = min(
         (i for i, k in enumerate(keys) if k not in oracled),
         default=len(keys),
     )
-    assert max(positions) < 50, "an oracled query sits past the driver window"
-    assert max(positions) < first_unoracled, (
+    last_oracled = max(i for i, k in enumerate(keys) if k in oracled)
+    assert last_oracled < first_unoracled, (
         "oracled queries must all precede no-oracle queries"
     )
 

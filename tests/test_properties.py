@@ -247,6 +247,25 @@ def test_jpeg_decode_roundtrip_property(h, w, seed):
     st.integers(1, 33), st.integers(1, 33),
     st.integers(0, 2**32 - 1),
 )
+def test_png_roundtrip_exact(h, w, seed):
+    """encode_png -> decode_png is LOSSLESS: bit-exact pixels for every
+    shape (PNG is the one format with no DCT rounding)."""
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.imagecodecs import encode_png
+    from ocr_pipeline_spark.operators.multimodal import decode_png
+
+    arr = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 33), st.integers(1, 33),
+    st.integers(0, 2**32 - 1),
+)
 def test_progressive_jpeg_decodes_identically_to_baseline(h, w, seed):
     """SOF2 successive-approximation streams (DC Al=1->0, AC Ss=1..63
     Al=1->0) transmit exactly the baseline coefficients, so the
