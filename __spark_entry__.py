@@ -1249,6 +1249,97 @@ def _q_dup_spans(spark, sf_dir):
     )
 
 
+def _q_dedup_apply_spans(spark, sf_dir):
+    """Exact duplicated-substring REMOVAL (completes the Lee et al.
+    mark -> cut loop of dup_spans): every word covered by a marked span
+    is dropped and the document re-joined; output is md5-witnessed so
+    the oracle proves the exact same post-cut text.
+
+    Scale shape: the span marking reuses dup_spans' window plan (one
+    gram shuffle, no pair expansion); spans per document are bounded by
+    document length, so the per-doc collect_list is small; the cut is
+    one JVM higher-order filter — narrow, no extra shuffle beyond the
+    doc-key group."""
+    d = _t(spark, sf_dir, "documents")
+    k = 8
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = ws.filter(F.size("ws") >= k).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {k - 1}), "
+                f"i -> struct(i AS pos, md5(array_join(slice(ws, i, {k}), ' ')) AS g))"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.pos").alias("pos"), F.col("e.g").alias("g"))
+    counted = grams.withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("g"))
+    )
+    hits = counted.filter(F.col("cnt") >= 2).select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        hits.withColumn(
+            "new_island",
+            F.when(F.col("pos") <= F.coalesce(prev_end, F.lit(-1)) + 1, 0)
+            .otherwise(1),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (k - 1)).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    cut = ws.join(spans, "doc_id", "left").select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.expr(
+            "transform(filter(transform(ws, (w, i) -> struct(w AS w, i + 1 AS p)),"
+            " p -> spans IS NULL OR NOT exists(spans,"
+            " s -> p.p >= s.s AND p.p <= s.e)), x -> x.w)"
+        ).alias("kept"),
+    )
+    return cut.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        (F.col("n_words") - F.size("kept")).cast("int").alias("n_removed"),
+        F.md5(F.array_join("kept", " ")).alias("new_md5"),
+    ).orderBy("doc_id")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for data mixing (per-language
+    quotas — the standard corpus-composition lever for training sets):
+    within each lang stratum, keep the 40 documents with the smallest
+    content-addressed rank md5(doc_id).  Reproducible across runs,
+    partitionings, and engines — never rand().
+
+    Scale shape: one shuffle on the stratum key + an in-partition
+    top-k; at extreme scale (strata >> executor memory) the same mix is
+    taken shuffle-free by thresholding the hash directly
+    (hash < quota/stratum_size * 2^64) at the cost of an approximate
+    quota — this exact window variant is the quota-exact baseline."""
+    d = _t(spark, sf_dir, "documents")
+    rank_key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(rank_key, "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 40)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal pixel path (X13) end to end: deterministic binary
     image payloads (GIF/JPEG/empty/garbage — fixtures/gen_media.py,
@@ -1406,9 +1497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_documents": _q_assemble_documents,
         "extract_pdf_documents": _q_extract_pdf_documents,
         "pdf_page_explode": _q_pdf_page_explode,
-        # --- oracled (golden witness) but outside the 50-entry driver
-        # window; green under the identical mini-driver compare in
+        # --- oracled but outside the 50-entry driver window; green
+        # under the identical mini-driver compare in
         # tests/test_entry_contract.py ---
+        "dedup_apply_spans": _q_dedup_apply_spans,
+        "stratified_sample": _q_stratified_sample,
         "lang_simhash": _q_lang_simhash,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
@@ -2113,6 +2206,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INT) AS n_grams
             FROM numbered GROUP BY doc_id, island
             ORDER BY doc_id, span_start
+        """,
+        "dedup_apply_spans": """
+            WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), grams AS (
+                SELECT doc_id, i AS pos,
+                       md5(array_to_string(ws[i:i+7], ' ')) AS g
+                FROM ws, LATERAL unnest(generate_series(1, len(ws) - 7)) AS t(i)
+                WHERE len(ws) >= 8
+            ), counted AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY g) AS cnt
+                FROM grams
+            ), hits AS (
+                SELECT doc_id, pos FROM counted WHERE cnt >= 2
+            ), islands AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos <= coalesce(max(pos + 7) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1) + 1
+                            THEN 0 ELSE 1 END AS new_island
+                FROM hits
+            ), numbered AS (
+                SELECT doc_id, pos,
+                       sum(new_island) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS island
+                FROM islands
+            ), spans AS (
+                SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                FROM numbered GROUP BY doc_id, island
+            ), words AS (
+                SELECT doc_id, i AS pos, ws[i] AS word, len(ws) AS n_words
+                FROM ws, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+            ), flagged AS (
+                SELECT wd.*,
+                       NOT EXISTS (SELECT 1 FROM spans s
+                                   WHERE s.doc_id = wd.doc_id
+                                     AND wd.pos BETWEEN s.s AND s.e) AS keep
+                FROM words wd
+            )
+            SELECT doc_id,
+                   CAST(max(n_words) AS INT) AS n_words,
+                   CAST(max(n_words)
+                        - count(CASE WHEN keep THEN 1 END) AS INT) AS n_removed,
+                   md5(coalesce(string_agg(CASE WHEN keep THEN word END,
+                                           ' ' ORDER BY pos), '')) AS new_md5
+            FROM flagged GROUP BY doc_id ORDER BY doc_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 40
+            ORDER BY lang, rk
         """,
         "embedding_quantize": """
             WITH s AS (

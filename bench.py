@@ -188,7 +188,8 @@ def main() -> None:
             "media_features", "repetition_stats", "pii_scrub",
             "contamination_check", "embedding_quantize",
             "supplier_share", "order_quartiles", "simhash_dup_pairs",
-            "dup_spans", "filter_funnel",
+            "dup_spans", "filter_funnel", "dedup_apply_spans",
+            "stratified_sample",
         ]
         qs = entry_mod.queries()
         _probe_idle("query_suite_pre", idle_fracs)
