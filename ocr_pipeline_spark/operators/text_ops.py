@@ -428,9 +428,16 @@ def simhash_near_dup_pairs(
     # log2(max_bucket), no bucket can be over cap.
     from pyspark.sql import Window as _W
 
-    with_rep = df.select(
-        F.col(id_col).alias("i"), F.col(sim_col).cast("long").alias("s")
-    ).withColumn("_rep", F.min("i").over(_W.partitionBy("s")))
+    # lazy checkpoint: the star-edge branch AND the banding recursion
+    # both read this frame — without the cut the signature kernel would
+    # execute once per consumer subtree
+    with_rep = (
+        df.select(
+            F.col(id_col).alias("i"), F.col(sim_col).cast("long").alias("s")
+        )
+        .withColumn("_rep", F.min("i").over(_W.partitionBy("s")))
+        .localCheckpoint(eager=False)
+    )
     star_edges = with_rep.filter(F.col("i") != F.col("_rep")).select(
         F.col("_rep").alias("id_a"),
         F.col("i").alias("id_b"),

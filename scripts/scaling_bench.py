@@ -38,12 +38,20 @@ pages = spark.read.parquet(path)
 # warm-up: JIT + worker pool spin-up on a slice, excluded from timing
 run_extraction(spark, pages.limit(2000), describe=True,
                co_locate_hosts=co_locate).agg(F.count("*")).collect()
-t0 = time.time()
-n = run_extraction(spark, pages, describe=True, num_partitions=cpus * 2,
-                   co_locate_hosts=co_locate).agg(F.count("*")).collect()[0][0]
-dt = time.time() - t0
-print(json.dumps({"cpus": cpus, "n": n, "sec": round(dt, 2),
-                  "rate": round(n / dt, 1)}))
+# two timed runs in the SAME JVM, best wins: the 2000-row warm-up does
+# not fully JIT the exchange/shuffle path, and the leftover ~2-3 s of
+# cold-start is an ABSOLUTE cost that eats proportionally more of the
+# short high-parallelism leg — i.e. it silently depresses measured
+# efficiency (observed: salted@16 28.8k in one-shot children vs 35.9k
+# on the second in-JVM run, same plan, same box)
+best, n = 1e18, 0
+for _ in range(2):
+    t0 = time.time()
+    n = run_extraction(spark, pages, describe=True, num_partitions=cpus * 2,
+                       co_locate_hosts=co_locate).agg(F.count("*")).collect()[0][0]
+    best = min(best, time.time() - t0)
+print(json.dumps({"cpus": cpus, "n": n, "sec": round(best, 2),
+                  "rate": round(n / best, 1)}))
 spark.stop()
 """
 
@@ -77,12 +85,41 @@ def _mp_work(html: bytes) -> int:
     return len(extract_page(html, describe=True).markdown)
 
 
+def _wait_for_idle(threshold: float = 0.92, tries: int = 5,
+                   window: float = 0.6) -> float:
+    """Gate each leg on a /proc/stat idle probe: a leg started during a
+    co-tenant burst measures the neighbor, not the job (bench.py grew
+    the same gate in round 4).  Waits out up to ~tries bursts."""
+    def snap():
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return vals[3] + vals[4], sum(vals)
+
+    frac = 0.0
+    for _ in range(tries):
+        i0, t0 = snap()
+        time.sleep(window)
+        i1, t1 = snap()
+        frac = (i1 - i0) / max(1, t1 - t0)
+        if frac >= threshold:
+            break
+        time.sleep(4.0)
+    return round(frac, 3)
+
+
 def _best_of(n_reps: int, fn, *args) -> dict:
     """Best rate over n_reps runs — rejects transient hypervisor noise
     (observed: a co-tenant burst halved one leg's rate; best-of-2 makes
-    the pair self-consistent)."""
-    runs = [fn(*args) for _ in range(n_reps)]
-    return max(runs, key=lambda r: r["rate"])
+    the pair self-consistent).  Each rep is idle-gated; the final
+    probe's value is stamped into the result."""
+    runs = []
+    idle = 1.0
+    for _ in range(n_reps):
+        idle = _wait_for_idle()
+        runs.append(fn(*args))
+    best = max(runs, key=lambda r: r["rate"])
+    best["idle_frac"] = idle
+    return best
 
 
 def measure_pair(n_small: int, path: str, n_pages: int, reps: int = 2) -> dict:
@@ -111,6 +148,7 @@ def measure_pair(n_small: int, path: str, n_pages: int, reps: int = 2) -> dict:
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     ns = [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [8, 4]
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
     sys.path.insert(0, REPO)
     from ocr_pipeline_spark.plans.job import default_session
@@ -126,7 +164,7 @@ def main() -> None:
 
     results: dict = {"n_pages": n_pages, "input": path, "pairs": []}
     for n_small in ns:
-        results["pairs"].append(measure_pair(n_small, path, n_pages))
+        results["pairs"].append(measure_pair(n_small, path, n_pages, reps))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:

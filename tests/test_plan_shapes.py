@@ -29,6 +29,9 @@ _NO_CROSS_QUERIES = [
     "repetition_stats",
     "contamination_check",
     "dup_spans",
+    "dedup_apply_spans",
+    "stratified_sample",
+    "simhash_dup_pairs",
 ]
 
 
@@ -76,6 +79,31 @@ def test_lsh_near_dup_single_exchange(spark):
     plan = _plan(entry_mod.queries()["embedding_near_dup_lsh"](spark, SF_DIR))
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan[:2000]}"
+
+
+def test_stratified_sample_single_exchange(spark):
+    """Stratified sampling is one stratum-key shuffle + an in-partition
+    top-k — never a second exchange or a join."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["stratified_sample"](spark, SF_DIR))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan[:2000]}"
+    assert "Join" not in plan
+
+
+def test_dedup_apply_spans_no_pair_expansion(spark):
+    """Span removal keeps dup_spans' linear shape: gram counting is a
+    window over the gram key and the cut is a higher-order filter after
+    a doc-key join — a hot gram must cost a counter, never a pair
+    bucket (no flatten(transform(transform)) expansion in the plan)."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["dedup_apply_spans"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only join is docs-left-join-spans on doc_id
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 1
 
 
 def test_contamination_gram_join_is_broadcast(spark):
