@@ -613,6 +613,49 @@ def _q_assemble_documents(spark, sf_dir):
     )
 
 
+def _q_host_link_graph(spark, sf_dir):
+    """X31: page outlinks -> (src_host, dst_host, n_links) edge list
+    over the cross-linked deterministic corpus (gen_pages
+    cross_links=True).  DOM-semantic href extraction (anchors inside
+    comments/script are invisible) + URL canonicalization (tracking
+    params, fragments, default ports stripped) in one narrow
+    mapInPandas kernel, then a single partial-aggregated groupBy.
+    Oracle: golden witness from the single-process kernel loop
+    (scripts/gen_witness.py); distributed == local pinned by
+    tests/test_links_pagerank.py."""
+    from ocr_pipeline_spark.fixtures.gen_pages import generate_pages_df
+    from ocr_pipeline_spark.operators.links_op import host_link_graph
+
+    n = min(
+        max(500, int(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * 200_000)),
+        4000,
+    )
+    pages = generate_pages_df(spark, n, seed=42, cross_links=True)
+    return host_link_graph(pages).orderBy("src_host", "dst_host")
+
+
+def _q_host_pagerank(spark, sf_dir):
+    """X32: damped PageRank (10 power steps) over the X31 host graph —
+    iterative DataFrame joins, edge frame shuffled once, ranks frame
+    O(|hosts|), scalars on broadcast cross joins, per-iteration
+    localCheckpoint lineage cuts.  Iterative -> no SQL oracle; pinned
+    against an independent dense numpy power iteration at 1e-9
+    (tests/test_links_pagerank.py)."""
+    from ocr_pipeline_spark.fixtures.gen_pages import generate_pages_df
+    from ocr_pipeline_spark.operators.links_op import host_link_graph
+    from ocr_pipeline_spark.operators.pagerank import host_pagerank
+
+    n = min(
+        max(500, int(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * 200_000)),
+        4000,
+    )
+    pages = generate_pages_df(spark, n, seed=42, cross_links=True)
+    edges = host_link_graph(pages)
+    return host_pagerank(edges, iterations=10).orderBy(
+        F.desc("rank"), "host"
+    )
+
+
 def _q_extract_documents(spark, sf_dir):
     from ocr_pipeline_spark.fixtures.gen_pages import documents_as_pages_df
     from ocr_pipeline_spark.plans.job import run_extraction
@@ -1507,10 +1550,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "near_dup_verified": _q_near_dup_verified,
         "media_features": _q_media_features,
+        "host_link_graph": _q_host_link_graph,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "host_pagerank": _q_host_pagerank,
     }
 
 
@@ -2443,6 +2488,14 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_WITNESS_DIR}/media_features.parquet')
             ORDER BY media_id
         """,
+        "host_link_graph": f"""
+            SELECT src_host, dst_host, n_links
+            FROM read_parquet('{_WITNESS_DIR}/host_link_graph.parquet')
+            ORDER BY src_host, dst_host
+        """,
+        # host_pagerank: iterative (power method) -> not expressible as
+        # a fixed DuckDB query; pinned against an independent numpy
+        # implementation instead (tests/test_links_pagerank.py).
         # ann_lsh / ann_ivf / embedding_near_dup_lsh: float scores whose
         # accumulation order differs across engines (BLAS vs sequential)
         # -> a value-hash witness would be fragile at rounding

@@ -277,7 +277,28 @@ def page_kind(row_id: int) -> str:
     return "malformed"
 
 
-def make_page(row_id: int, seed: int = 42) -> dict:
+def _related_sites_block(seed: int, row_id: int) -> str:
+    """Deterministic cross-host footer (opt-in via cross_links): the
+    link-graph queries need absolute cross-host edges, which the base
+    templates (all relative hrefs) never produce.  A DEDICATED rng
+    keeps every other byte of the page — and therefore every committed
+    extraction witness/golden — identical to the cross_links=False
+    corpus."""
+    r = random.Random((seed << 16) ^ (row_id * 104729))
+    links = []
+    for k in range(r.randrange(1, 6)):
+        dst = _zipf_host(r)
+        qs = "?utm_source=feed&utm_campaign=rel" if r.random() < 0.3 else ""
+        links.append(f'<a href="https://{dst}/ref/{row_id % 97}-{k}{qs}">rel {k}</a>')
+    if r.random() < 0.2:  # canonicalization fodder: must all be dropped
+        links.append('<a href="mailto:ed@example.com">mail</a>')
+        links.append('<a href="javascript:void(0)">js</a>')
+    if r.random() < 0.3:  # protocol-relative: scheme comes from base
+        links.append(f'<a href="//{_zipf_host(r)}/mirror">mirror</a>')
+    return '<div class="related">Related: ' + " ".join(links) + "</div>"
+
+
+def make_page(row_id: int, seed: int = 42, cross_links: bool = False) -> dict:
     """Pure function (seed, row_id) -> pages row."""
     rng = random.Random((seed << 32) ^ row_id)
     kind = page_kind(row_id)
@@ -306,6 +327,8 @@ def make_page(row_id: int, seed: int = 42) -> dict:
         section = rng.choice(_SECTIONS)
         url = f"https://{host}/{section}/{kind}-{row_id}"
 
+    if cross_links:
+        body += _related_sites_block(seed, row_id)
     html = _chrome_wrap(rng, body)
     warc_ts = _EPOCH + timedelta(seconds=(row_id * 977) % (365 * 86400))
     lang = _LANGS[rng.randrange(len(_LANGS))]
@@ -324,9 +347,11 @@ def make_page(row_id: int, seed: int = 42) -> dict:
     }
 
 
-def generate_rows(n_rows: int, seed: int = 42) -> list[dict]:
+def generate_rows(
+    n_rows: int, seed: int = 42, cross_links: bool = False
+) -> list[dict]:
     """Driver-side generation (tests, small fixtures)."""
-    return [make_page(i, seed) for i in range(n_rows)]
+    return [make_page(i, seed, cross_links=cross_links) for i in range(n_rows)]
 
 
 # --- Spark-side distributed generation ----------------------------------------
@@ -373,7 +398,13 @@ def documents_as_pages_df(documents_df):
     )
 
 
-def generate_pages_df(spark, n_rows: int, seed: int = 42, partitions: int | None = None):
+def generate_pages_df(
+    spark,
+    n_rows: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    cross_links: bool = False,
+):
     """Distributed deterministic generation: spark.range -> mapInPandas.
 
     Output is identical for any `partitions` value (pure per-row
@@ -386,7 +417,10 @@ def generate_pages_df(spark, n_rows: int, seed: int = 42, partitions: int | None
 
     def _gen(batches):
         for pdf in batches:
-            rows = [make_page(int(i), seed) for i in pdf["id"]]
+            rows = [
+                make_page(int(i), seed, cross_links=cross_links)
+                for i in pdf["id"]
+            ]
             yield pd.DataFrame(rows)
 
     return (

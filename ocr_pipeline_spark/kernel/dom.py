@@ -281,7 +281,7 @@ def _parse_attrs(raw: str) -> dict[str, str]:
     return attrs
 
 
-def _parse_html_fast(html: str) -> Node:
+def _parse_html_fast(html: str, hrefs: bool = False) -> Node:
     """String-scanner with the tree-builder's start/end logic inlined.
 
     Must mirror _TreeBuilder._handle_start_parsed / handle_endtag /
@@ -417,6 +417,9 @@ def _parse_html_fast(html: str) -> Node:
             or "id" in attrs_raw
             or "role" in attrs_raw
             or "alt" in attrs_raw
+            # opt-in (kernel/links.py): the extraction hot path never
+            # reads hrefs, so anchors skip attr parsing by default
+            or (hrefs and "href" in attrs_raw)
         ):
             attrs = _parse_attrs(attrs_raw)
         else:
@@ -568,7 +571,9 @@ def decode_html(raw: bytes) -> str:
         return raw.decode("cp1252", errors="replace")
 
 
-def parse_html(html: str | bytes, tokenizer: str = "fast") -> Node:
+def parse_html(
+    html: str | bytes, tokenizer: str = "fast", hrefs: bool = False
+) -> Node:
     """Parse an HTML document (bytes are charset-sniffed via decode_html).
 
     `tokenizer='fast'` (default) uses the string/regex scanner;
@@ -594,7 +599,8 @@ def parse_html(html: str | bytes, tokenizer: str = "fast") -> Node:
     if tokenizer == "stdlib":
         return _parse_html_stdlib(html)
     try:
-        return _parse_html_fast(html)
+        return _parse_html_fast(html, hrefs=hrefs)
     except Exception:
         # any scanner bug degrades to the slow, battle-tested path
+        # (html.parser keeps every attr, so hrefs survive here too)
         return _parse_html_stdlib(html)

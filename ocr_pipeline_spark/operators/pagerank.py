@@ -1,0 +1,103 @@
+"""Host-graph PageRank as iterative DataFrame joins (power method).
+
+The iterative-algorithm face of the engine: damping-factor PageRank
+over the (src_host, dst_host, n_links) edge list that
+operators/links_op.py builds from page outlinks.  Host authority is a
+standard corpus-curation prior (crawl scheduling, spam demotion,
+quality weighting for training-data sampling).
+
+Scale shape:
+  * the edges frame is shuffled ONCE (normalization join keyed on
+    src); every iteration reuses that partitioning for the
+    contribution join — Catalyst sees matching hashpartitioning and
+    inserts no new exchange for the edge side;
+  * the ranks frame is O(|hosts|) — tiny relative to the corpus (the
+    web is ~10^8 hosts vs 10^12 pages), so per-iteration shuffles move
+    (host, double) pairs only;
+  * global scalars (node count, dangling mass) ride broadcast cross
+    joins, never a collect — the loop is driver-light;
+  * per-iteration localCheckpoint cuts the lineage so 10 iterations
+    do not compound into a 10-deep re-execution plan.
+
+Not SQL-expressible as a fixed query (iterative), so the entry exposes
+it as a no_oracle query; tests/test_links_pagerank.py pins it against
+an independent dense numpy power iteration at 1e-9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def host_pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str = "n_links",
+) -> DataFrame:
+    """(host, rank) after `iterations` damped power steps.
+
+    Semantics: standard weighted PageRank with uniform teleport and
+    uniform redistribution of dangling (no-outlink) mass; ranks sum to
+    1 every iteration (pinned by test).
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    # one-row frames for global scalars — broadcast, never collected
+    n_df = nodes.agg(F.count("*").alias("n"))
+    # edge transition probabilities: w / total outgoing weight of src
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .localCheckpoint(eager=False)  # computed once, read every iteration
+    )
+    dangling_nodes = nodes.join(
+        out_w.select(F.col("src").alias("host")), "host", "left_anti"
+    ).localCheckpoint(eager=False)
+
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "host", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iterations):
+        inflow = (
+            trans.join(
+                ranks.select(F.col("host").alias("src"), "rank"), "src"
+            )
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+        )
+        dangling = (
+            ranks.join(dangling_nodes, "host", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        ranks = (
+            nodes.join(inflow, "host", "left")
+            .crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dangling") / F.col("n")
+                    )
+                ).alias("rank"),
+            )
+            # eager: cut lineage AND materialize, so iteration k+1's
+            # plan does not re-derive iterations 1..k
+            .localCheckpoint(eager=True)
+        )
+    return ranks

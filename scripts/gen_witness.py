@@ -335,6 +335,26 @@ def witness_media_features() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def witness_host_link_graph() -> pd.DataFrame:
+    """X31 witness: single-process outlink loop over the cross-linked
+    corpus at the sf0.01 query size (n=2000, same formula as
+    _q_host_link_graph)."""
+    from collections import Counter
+
+    from ocr_pipeline_spark.kernel.links import extract_outlinks, host_of
+
+    counts: Counter = Counter()
+    for row in generate_rows(N_ASSEMBLE_PAGES, seed=SEED, cross_links=True):
+        src = host_of(row["url"])
+        for link in extract_outlinks(row["html"], row["url"]):
+            counts[(src, host_of(link))] += 1
+    rows = [
+        {"src_host": s, "dst_host": d, "n_links": int(c)}
+        for (s, d), c in sorted(counts.items())
+    ]
+    return pd.DataFrame(rows, columns=["src_host", "dst_host", "n_links"])
+
+
 WITNESSES = {
     "extract_documents": witness_extract_documents,
     "assemble_documents": witness_assemble_documents,
@@ -345,6 +365,7 @@ WITNESSES = {
     "minhash_dup_pairs": witness_minhash_dup_pairs,
     "near_dup_verified": witness_near_dup_verified,
     "media_features": witness_media_features,
+    "host_link_graph": witness_host_link_graph,
 }
 
 

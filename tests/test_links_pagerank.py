@@ -1,0 +1,194 @@
+"""Link-graph family: outlink kernel, host graph, iterative PageRank.
+
+Verification strategy mirrors the extraction family's: the Spark
+operator must equal the single-process kernel loop exactly, and the
+iterative algorithm is pinned against an independent dense numpy
+implementation (no Spark, no shared code) at 1e-9.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_pipeline_spark.fixtures.gen_pages import generate_rows, make_page
+from ocr_pipeline_spark.kernel.links import (
+    canonicalize_url,
+    extract_outlinks,
+    host_of,
+)
+
+BASE = "https://base.example.com/section/page-3"
+
+
+# ---------------------------------------------------------------- kernel
+
+def test_canonicalize_table():
+    cases = {
+        # scheme/host case, default port, trailing host dot
+        "HTTPS://Host.COM.:443/Path": "https://host.com/Path",
+        "http://h.org:80/": "http://h.org/",
+        "http://h.org:8080/x": "http://h.org:8080/x",
+        # fragment dropped, empty path normalized
+        "https://h.org#frag": "https://h.org/",
+        # tracking params stripped, other keys kept IN ORDER
+        "https://h.org/p?utm_source=a&q=1&fbclid=x&b=2": "https://h.org/p?q=1&b=2",
+        # non-web schemes rejected
+        "mailto:x@y.com": None,
+        "javascript:void(0)": None,
+        "ftp://h.org/f": None,
+        "data:text/html,hi": None,
+        "": None,
+    }
+    for raw, want in cases.items():
+        assert canonicalize_url(raw) == want, raw
+
+
+def test_resolution_against_base():
+    html = (
+        b'<a href="/abs/path">a</a><a href="rel.html">b</a>'
+        b'<a href="//other.net/pr">c</a><a href="#top">d</a>'
+        b'<a href="https://x.io/q?a=1&amp;b=2">e</a>'
+    )
+    assert extract_outlinks(html, BASE) == [
+        "https://base.example.com/abs/path",
+        "https://base.example.com/section/rel.html",
+        "https://other.net/pr",
+        "https://x.io/q?a=1&b=2",
+    ]
+
+
+def test_dom_semantics_not_regex():
+    """Anchors in comments and raw-text containers are invisible —
+    the failure mode of a naive href regex."""
+    html = (
+        b"<!-- <a href='https://comment.io/x'>n</a> -->"
+        b"<script>document.write('<a href=\"https://script.io/x\">n</a>')</script>"
+        b"<style>a[href='https://style.io/x'] {}</style>"
+        b'<p><a href="https://real.io/x">yes</a></p>'
+    )
+    assert extract_outlinks(html, BASE) == ["https://real.io/x"]
+
+
+def test_dedupe_order_and_cap():
+    html = b"".join(
+        f'<a href="https://h{i % 7}.com/p">l</a>'.encode() for i in range(50)
+    )
+    links = extract_outlinks(html, BASE)
+    assert links == [f"https://h{i}.com/p" for i in range(7)]
+    assert extract_outlinks(html, BASE, max_links=3) == links[:3]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_outlinks_total_on_garbage(data):
+    links = extract_outlinks(data, BASE)
+    assert isinstance(links, list)
+    assert all(isinstance(x, str) for x in links)
+
+
+def test_cross_links_flag_is_isolated():
+    """cross_links must ONLY append the related block — url/ts/lang and
+    every prior html byte stay identical, keeping committed extraction
+    witnesses valid."""
+    for i in (0, 7, 113, 2001):
+        plain, linked = make_page(i), make_page(i, cross_links=True)
+        assert plain["url"] == linked["url"]
+        assert plain["warc_ts"] == linked["warc_ts"]
+        assert plain["lang"] == linked["lang"]
+        lh = linked["html"].decode("utf-8")
+        ph = plain["html"].decode("utf-8")
+        assert '<div class="related">' in lh and '<div class="related">' not in ph
+
+
+# ---------------------------------------------------------- spark parity
+
+def _local_edges(rows, max_links=256):
+    from collections import Counter
+
+    counts = Counter()
+    for r in rows:
+        src = host_of(r["url"])
+        for link in extract_outlinks(r["html"], r["url"], max_links):
+            counts[(src, host_of(link))] += 1
+    return counts
+
+
+def test_distributed_graph_equals_local(spark):
+    from ocr_pipeline_spark.fixtures.gen_pages import generate_pages_df
+    from ocr_pipeline_spark.operators.links_op import host_link_graph
+
+    n = 400
+    rows = generate_rows(n, seed=42, cross_links=True)
+    got = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_link_graph(
+            generate_pages_df(spark, n, seed=42, cross_links=True)
+        ).collect()
+    }
+    assert got == dict(_local_edges(rows))
+    # the fixture must actually exercise cross-host edges
+    assert any(s != d for (s, d) in got)
+
+
+def test_host_graph_single_exchange(spark):
+    from ocr_pipeline_spark.fixtures.gen_pages import generate_pages_df
+    from ocr_pipeline_spark.operators.links_op import host_link_graph
+
+    df = host_link_graph(generate_pages_df(spark, 50, cross_links=True))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+# -------------------------------------------------------------- pagerank
+
+def _numpy_pagerank(edges, damping=0.85, iterations=10):
+    """Independent dense power iteration (no shared code with the op)."""
+    hosts = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    w = np.zeros((n, n))
+    for (s, d), c in edges.items():
+        w[idx[s], idx[d]] += c
+    out = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out[i] > 0:
+                contrib += r[i] * w[i] / out[i]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return dict(zip(hosts, r))
+
+
+def test_pagerank_matches_numpy(spark):
+    from ocr_pipeline_spark.operators.pagerank import host_pagerank
+
+    rows = generate_rows(300, seed=42, cross_links=True)
+    edges = dict(_local_edges(rows))
+    edge_df = spark.createDataFrame(
+        [(s, d, int(c)) for (s, d), c in edges.items()],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r.host: r.rank for r in host_pagerank(edge_df, iterations=10).collect()}
+    want = _numpy_pagerank(edges, iterations=10)
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h] == pytest.approx(want[h], abs=1e-9), h
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    """A pure sink (no outlinks) must redistribute, not leak, its mass."""
+    from ocr_pipeline_spark.operators.pagerank import host_pagerank
+
+    edge_df = spark.createDataFrame(
+        [("a", "sink", 2), ("b", "sink", 1), ("a", "b", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r.host: r.rank for r in host_pagerank(edge_df, iterations=15).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert got["sink"] > got["a"]
