@@ -189,7 +189,7 @@ def main() -> None:
             "contamination_check", "embedding_quantize",
             "supplier_share", "order_quartiles", "simhash_dup_pairs",
             "dup_spans", "filter_funnel", "dedup_apply_spans",
-            "stratified_sample",
+            "stratified_sample", "host_link_graph", "host_pagerank",
         ]
         qs = entry_mod.queries()
         _probe_idle("query_suite_pre", idle_fracs)

@@ -52,6 +52,11 @@ def host_pagerank(
         e.select(F.col("src").alias("host"))
         .union(e.select(F.col("dst").alias("host")))
         .distinct()
+        # computed once, re-read by EVERY iteration's ranks join and by
+        # n_df below — without this cut each eager iteration checkpoint
+        # re-derives the upstream edge builder (for host_link_graph
+        # input that is the full outlink-extraction kernel) twice
+        .localCheckpoint(eager=False)
     )
     # one-row frames for global scalars — broadcast, never collected
     n_df = nodes.agg(F.count("*").alias("n"))
