@@ -1484,6 +1484,152 @@ def _q_lang_pred(spark, sf_dir):
     ).select("doc_id", "lang_pred").orderBy("doc_id")
 
 
+_BM25_TERMS = ("spark", "window", "join")
+_BM25_K1 = 1.5
+_BM25_B = 0.75
+
+
+def _q_bm25_search(spark, sf_dir):
+    """Lexical top-k retrieval (BM25-shaped) over the documents table —
+    the text-side counterpart of the embedding ANN family (X7-X9):
+    score every document against a fixed query-term set, return the
+    top 15 with a deterministic doc_id tie-break.
+
+    Scoring uses the odds-ratio idf (N - df + 0.5)/(df + 0.5) WITHOUT
+    the usual log: every factor is then a fixed-order composition of
+    IEEE-754-exact-input operations (integer-derived counts, exactly
+    representable constants, one division per factor), so the DuckDB
+    oracle is bit-identical — with log() the value-hash compare would
+    hinge on libm-vs-JVM rounding.  log is monotone, so per-term
+    ranking is unchanged; only relative term weighting differs from
+    textbook BM25, which this docstring is the record of.
+
+    Scale shape: corpus statistics (N, avgdl, per-term df) reduce to a
+    ONE-ROW frame in a single conditional-aggregate pass and ride a
+    broadcast cross join back onto the corpus — never a collect, never
+    a shuffle of the corpus; per-doc term frequencies are JVM
+    higher-order filters over the split column (terms are few and
+    constant — no explode, no posting-list shuffle); top-k is
+    orderBy+limit = TakeOrdered, no global sort materialization."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    doc = ws.select(
+        "doc_id",
+        F.size("ws").cast("double").alias("dl"),
+        *[
+            F.expr(f"size(filter(ws, x -> x = '{t}'))")
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    k1, b = _BM25_K1, _BM25_B
+    # fixed-order float expression shared (shape-for-shape) with the
+    # DuckDB oracle: NO float aggregation whose accumulation order
+    # could differ across engines — the cross-term sum is a literal
+    # left-to-right chain over a constant number of terms
+    per_term = [
+        (
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        * (
+            (F.col(f"tf_{i}") * F.lit(k1 + 1.0))
+            / (
+                F.col(f"tf_{i}")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+        for i in range(len(_BM25_TERMS))
+    ]
+    score = per_term[0]
+    for term_score in per_term[1:]:
+        score = score + term_score
+    return (
+        doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(15)
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    """DuckDB twin of _q_bm25_search, generated from the same term
+    list and constants so the two can't drift.  All literals are CAST
+    to DOUBLE (bare decimals are DECIMAL-typed in DuckDB, which would
+    change the arithmetic path) and the expression tree mirrors the
+    Spark column expression operation-for-operation."""
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n                   ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n                   ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN CAST(1 AS DOUBLE) "
+        f"ELSE CAST(0 AS DOUBLE) END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    term_exprs = " + ".join(
+        f"(((n_docs - df_{i} + CAST(0.5 AS DOUBLE)) / (df_{i} + CAST(0.5 AS DOUBLE)))"
+        f" * ((tf_{i} * CAST({k1 + 1.0} AS DOUBLE)) / (tf_{i} + CAST({k1} AS DOUBLE)"
+        f" * (CAST({1.0 - b} AS DOUBLE) + CAST({b} AS DOUBLE) * (dl / avgdl)))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+        WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), doc AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS DOUBLE) AS dl,
+                   {tf_cols}
+            FROM ws
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   sum(dl) / count(*) AS avgdl,
+                   {df_cols}
+            FROM doc
+        )
+        SELECT doc_id, {term_exprs} AS score
+        FROM doc, stats
+        ORDER BY score DESC, doc_id
+        LIMIT 15
+    """
+
+
+def _q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary statistics: per-language top-10 terms by
+    document frequency — the standard corpus-composition / tokenizer-
+    coverage diagnostic.  Integer-exact; ties broken lexicographically
+    so the result is engine- and partitioning-independent.
+
+    Scale shape: distinct-terms-per-doc explode -> one (lang, term)
+    partial-aggregated group-by (map-side combine collapses per-
+    partition repeats before the shuffle) -> the per-lang top-k window
+    runs over the SMALL aggregated frame — the heavy exploded stream
+    never crosses a window."""
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    dfreq = terms.groupBy("lang", "term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.desc("df"), "term")
+    return (
+        dfreq.select("lang", "term", "df", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "term", "df", F.col("rk").cast("int").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: every key with an oracle_sql() entry comes FIRST.
     # The driver's correctness harness evaluates only the first 50 entries,
@@ -1551,6 +1697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_verified": _q_near_dup_verified,
         "media_features": _q_media_features,
         "host_link_graph": _q_host_link_graph,
+        "bm25_search": _q_bm25_search,
+        "vocab_stats": _q_vocab_stats,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -2492,6 +2640,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, n_links
             FROM read_parquet('{_WITNESS_DIR}/host_link_graph.parquet')
             ORDER BY src_host, dst_host
+        """,
+        "bm25_search": _bm25_oracle_sql(),
+        "vocab_stats": """
+            WITH terms AS (
+                SELECT lang,
+                       unnest(list_distinct(string_split(text, ' '))) AS term
+                FROM documents
+            ), dfreq AS (
+                SELECT lang, term, count(*) AS df FROM terms GROUP BY lang, term
+            ), ranked AS (
+                SELECT lang, term, df,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY df DESC, term
+                       ) AS rk
+                FROM dfreq
+            )
+            SELECT lang, term, df, CAST(rk AS INT) AS rk
+            FROM ranked WHERE rk <= 10
+            ORDER BY lang, rk
         """,
         # host_pagerank: iterative (power method) -> not expressible as
         # a fixed DuckDB query; pinned against an independent numpy
