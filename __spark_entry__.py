@@ -1150,6 +1150,71 @@ def _q_events_sessionized_stream(spark, sf_dir):
     )
 
 
+def _q_events_dedup_stream(spark, sf_dir):
+    """Streaming exact dedup (X35), driver-checked against a SQL
+    oracle: the events table is re-delivered TWICE through a file
+    stream (two identical files, maxFilesPerTrigger=1 -> two
+    micro-batches), and streaming_dedup (dropDuplicatesWithinWatermark
+    on event_id) must emit each event exactly once — the second
+    delivery is dropped either as an in-state duplicate or as
+    late-behind-watermark, so the emitted set is EXACTLY the distinct
+    input rows and the oracle is a plain SELECT.  Exercises real
+    cross-micro-batch dedup state on the real engine, with state
+    bounded by the watermark horizon rather than the corpus."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ocr_pipeline_spark.streaming.stream_job import streaming_dedup
+
+    base = tempfile.mkdtemp(prefix="dedup_stream_q_")
+    sink, ckpt, src = f"{base}/sink", f"{base}/ckpt", f"{base}/src"
+    try:
+        os.makedirs(src)
+        events = f"{sf_dir}/events.parquet"
+        if os.path.isdir(events):
+            parts = [
+                os.path.join(events, f)
+                for f in sorted(os.listdir(events))
+                if f.endswith(".parquet")
+            ]
+        else:
+            parts = [events]
+        for i, p in enumerate(parts):
+            shutil.copy(p, f"{src}/delivery0_{i}.parquet")
+            shutil.copy(p, f"{src}/delivery1_{i}.parquet")
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_dedup(stream, ["event_id"], event_time="ts")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    # lazy return, deferred cleanup: same contract as the sessionized
+    # stream query — no driver materialization of the result
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return (
+        spark.read.parquet(sink)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
 def _q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 quantization of the embedding column — the
     standard storage/bandwidth lever for corpus-scale vector search
@@ -1699,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": _q_host_link_graph,
         "bm25_search": _q_bm25_search,
         "vocab_stats": _q_vocab_stats,
+        "events_dedup_stream": _q_events_dedup_stream,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -2642,6 +2708,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY src_host, dst_host
         """,
         "bm25_search": _bm25_oracle_sql(),
+        "events_dedup_stream": """
+            SELECT event_id, ts, user_id, event_type, value
+            FROM events
+            ORDER BY event_id
+        """,
         "vocab_stats": """
             WITH terms AS (
                 SELECT lang,

@@ -69,6 +69,33 @@ def run_extraction_stream(
     return int(sum(p["numInputRows"] for p in progress)) if progress else 0
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    event_time: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: keep the first row per
+    key across micro-batches, drop re-deliveries (re-crawled pages,
+    replayed WARC drops, at-least-once upstream queues).
+
+    Built on `dropDuplicatesWithinWatermark`: a key's dedup state lives
+    only until the event-time watermark passes `watermark` beyond it,
+    so state size tracks the re-delivery horizon, not the corpus — the
+    property that makes exact streaming dedup viable at crawl scale
+    (plain dropDuplicates would retain every key forever).  A
+    re-delivery inside the horizon is dropped as an in-state duplicate;
+    one arriving after the key's eviction is dropped by the watermark
+    itself as late — either way each key survives exactly once as long
+    as re-deliveries lag the original by less than `watermark` plus the
+    stream's disorder bound.
+
+    Returns the streaming DataFrame (caller attaches the sink)."""
+    return stream.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def streaming_crawl_metrics(
     pages_stream: DataFrame,
     watermark: str = "1 hour",

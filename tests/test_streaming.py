@@ -434,3 +434,43 @@ def test_sessionizer_timeout_fires_on_continuous_trigger(spark, tmp_path):
         q.stop()
     assert len(rows) == 1
     assert rows[0].n_events == 1 and rows[0].session_value == 2.5
+
+
+def test_streaming_dedup_drops_redelivery_across_microbatches(spark, tmp_path):
+    """X35: dropDuplicatesWithinWatermark-based dedup must (a) process
+    the re-delivered file in a SECOND micro-batch (cross-batch state,
+    not intra-batch distinct), and (b) emit each key exactly once."""
+    from ocr_pipeline_spark.streaming.stream_job import streaming_dedup
+
+    src, sink, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    pages = generate_pages_df(spark, 300, seed=7).select("url", "warc_ts")
+    pages.coalesce(1).write.parquet(src)
+    import glob
+    import shutil
+
+    part = glob.glob(f"{src}/part-*.parquet")[0]
+    shutil.copy(part, f"{src}/redelivery.parquet")  # identical second file
+
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup(stream, ["url"], event_time="warc_ts")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 2, "re-delivery must arrive in its own micro-batch"
+
+    got = spark.read.parquet(sink).select("url").collect()
+    want = pages.select("url").distinct().collect()
+    assert sorted(r.url for r in got) == sorted(r.url for r in want)
