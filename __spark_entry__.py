@@ -1150,6 +1150,39 @@ def _q_events_sessionized_stream(spark, sf_dir):
     )
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Rolling-crawl incremental dedup (the operational shape of X1 at
+    100 TB: each new crawl drop dedups against the already-indexed
+    corpus, not against itself alone).  The fixture split is
+    deterministic: doc_id % 5 == 0 is the 'new drop', the rest is the
+    corpus index.  A new doc survives iff its exact content hash is
+    absent from the index (left_anti join on the hash) AND it is the
+    min-doc_id representative of its hash within the drop (window).
+
+    Scale shape: the index side ships only distinct (hash) — at scale
+    that is a bucketed table on the hash column, so the anti-join is
+    co-located (sources/catalog.py:write_bucketed) and only the NEW
+    drop shuffles; the within-drop window shuffles drop-sized data
+    once.  Never a broadcast of the corpus, never a pair expansion."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("h")
+    )
+    index = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5(F.encode("text", "UTF-8")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        new.join(index, "h", "left_anti")
+        .select("doc_id", "h", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "h")
+        .orderBy("doc_id")
+    )
+
+
 def _q_events_dedup_stream(spark, sf_dir):
     """Streaming exact dedup (X35), driver-checked against a SQL
     oracle: the events table is re-delivered TWICE through a file
@@ -1765,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "vocab_stats": _q_vocab_stats,
         "events_dedup_stream": _q_events_dedup_stream,
+        "incremental_dedup": _q_incremental_dedup,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -2712,6 +2746,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, user_id, event_type, value
             FROM events
             ORDER BY event_id
+        """,
+        "incremental_dedup": """
+            WITH new_drop AS (
+                SELECT doc_id, md5(text) AS h FROM documents
+                WHERE doc_id % 5 = 0
+            ), idx AS (
+                SELECT DISTINCT md5(text) AS h FROM documents
+                WHERE doc_id % 5 <> 0
+            ), survivors AS (
+                SELECT n.doc_id, n.h,
+                       row_number() OVER (
+                           PARTITION BY n.h ORDER BY n.doc_id
+                       ) AS rk
+                FROM new_drop n
+                WHERE n.h NOT IN (SELECT h FROM idx)
+            )
+            SELECT doc_id, h FROM survivors WHERE rk = 1
+            ORDER BY doc_id
         """,
         "vocab_stats": """
             WITH terms AS (

@@ -190,7 +190,7 @@ def main() -> None:
             "supplier_share", "order_quartiles", "simhash_dup_pairs",
             "dup_spans", "filter_funnel", "dedup_apply_spans",
             "stratified_sample", "host_link_graph", "host_pagerank",
-            "bm25_search", "vocab_stats",
+            "bm25_search", "vocab_stats", "incremental_dedup",
         ]
         qs = entry_mod.queries()
         _probe_idle("query_suite_pre", idle_fracs)
