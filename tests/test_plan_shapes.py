@@ -174,3 +174,28 @@ def test_minhash_pairs_single_kernel_invocation(spark):
 
     plan = _plan(entry_mod.queries()["minhash_dup_pairs"](spark, SF_DIR))
     assert plan.count("MapInPandas") == 1, plan[:2000]
+
+
+def test_bm25_stats_broadcast_and_topk_is_takeordered(spark):
+    """bm25_search's scale contract: corpus statistics attach via a
+    ONE-ROW broadcast (a BNLJ whose build side is a single aggregated
+    row — O(n), not all-pairs), the corpus itself never shuffles for
+    scoring, and top-k is TakeOrdered, not a global sort."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["bm25_search"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_incremental_dedup_is_antijoin_no_broadcast_of_corpus(spark):
+    """incremental_dedup's scale contract: the index side joins as a
+    hash anti-join (bucketable at scale), never a CartesianProduct or
+    nested-loop over the corpus."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["incremental_dedup"](spark, SF_DIR))
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
