@@ -2760,7 +2760,10 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY n.h ORDER BY n.doc_id
                        ) AS rk
                 FROM new_drop n
-                WHERE n.h NOT IN (SELECT h FROM idx)
+                -- NOT EXISTS, not NOT IN: matches the Spark anti-join's
+                -- NULL-key semantics (an unmatched NULL hash survives;
+                -- NOT IN would nuke the whole result on any NULL)
+                WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = n.h)
             )
             SELECT doc_id, h FROM survivors WHERE rk = 1
             ORDER BY doc_id
