@@ -1150,6 +1150,31 @@ def _q_events_sessionized_stream(spark, sf_dir):
     )
 
 
+def _q_compression_signal(spark, sf_dir):
+    """Gopher-style compression-ratio quality signal (X37): zlib-6
+    compressed size over raw UTF-8 size per document — repetitive
+    templated/spam text compresses far below prose, making the ratio a
+    standard corpus-hygiene filter.  Narrow Arrow kernel, no shuffle;
+    oracled by a golden witness from the single-process twin
+    (scripts/gen_witness.py, freshness-pinned).  The ratio is one IEEE
+    division of the witnessed integers, so it hashes identically."""
+    from ocr_pipeline_spark.operators.text_ops import compression_signal_kernel
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = d.mapInPandas(
+        compression_signal_kernel(),
+        schema="doc_id long, n_bytes long, n_compressed long",
+    )
+    return sig.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        F.when(
+            F.col("n_bytes") > 0, F.col("n_compressed") / F.col("n_bytes")
+        ).alias("ratio"),
+    ).orderBy("doc_id")
+
+
 def _q_incremental_dedup(spark, sf_dir):
     """Rolling-crawl incremental dedup (the operational shape of X1 at
     100 TB: each new crawl drop dedups against the already-indexed
@@ -1799,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": _q_vocab_stats,
         "events_dedup_stream": _q_events_dedup_stream,
         "incremental_dedup": _q_incremental_dedup,
+        "compression_signal": _q_compression_signal,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -2742,6 +2768,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY src_host, dst_host
         """,
         "bm25_search": _bm25_oracle_sql(),
+        "compression_signal": f"""
+            SELECT doc_id, n_bytes, n_compressed,
+                   CASE WHEN n_bytes > 0
+                        THEN n_compressed / n_bytes
+                        ELSE NULL END AS ratio
+            FROM read_parquet('{_WITNESS_DIR}/compression_signal.parquet')
+            ORDER BY doc_id
+        """,
         "events_dedup_stream": """
             SELECT event_id, ts, user_id, event_type, value
             FROM events

@@ -100,6 +100,40 @@ def lang_id_kernel(text_col: str = "text", out_col: str = "lang_pred"):
 
 
 # =========================================================================
+# Compression-ratio quality signal (Gopher-style)
+# =========================================================================
+def compression_signal(text: str) -> tuple[int, int]:
+    """(n_bytes, n_compressed) for a document's UTF-8 bytes under zlib
+    level 6 — the Gopher-style templated/spam-text proxy (highly
+    repetitive text compresses far below prose's ~2.5-3x).  Pure and
+    deterministic for a given zlib, so the golden witness (same
+    function, single-process loop, no Spark) is byte-stable."""
+    import zlib
+
+    raw = (text or "").encode("utf-8")
+    return len(raw), len(zlib.compress(raw, 6))
+
+
+def compression_signal_kernel(text_col: str = "text"):
+    """mapInPandas kernel factory: (doc_id, text) -> (doc_id, n_bytes,
+    n_compressed).  Narrow — no shuffle at any scale; zlib runs
+    C-side per Arrow batch, the text column never leaves the worker."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sizes = [compression_signal(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": [s[0] for s in sizes],
+                    "n_compressed": [s[1] for s in sizes],
+                }
+            )
+
+    return kernel
+
+
+# =========================================================================
 # SimHash (64-bit) — near-dup fingerprint (Arrow kernel)
 #
 # Hash family: blake2b-64 per token (one C call, PYTHONHASHSEED-free).

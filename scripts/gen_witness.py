@@ -204,6 +204,22 @@ def witness_lang_simhash() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def witness_compression_signal() -> pd.DataFrame:
+    """Twin of _q_compression_signal: single-process zlib-6 sizes per
+    document; columns (doc_id, n_bytes, n_compressed) — the ratio is
+    derived in SQL from these witnessed integers."""
+    from ocr_pipeline_spark.operators.text_ops import compression_signal
+
+    docs = _docs_texts()
+    rows = []
+    for d, t in zip(docs.doc_id, docs.text):
+        n_bytes, n_compressed = compression_signal(t or "")
+        rows.append(
+            {"doc_id": int(d), "n_bytes": n_bytes, "n_compressed": n_compressed}
+        )
+    return pd.DataFrame(rows)
+
+
 def witness_simhash_dup_pairs() -> pd.DataFrame:
     """Twin of _q_simhash_dup_pairs via BRUTE FORCE — an all-pairs
     popcount over single-process signatures, compressed to the
@@ -361,6 +377,7 @@ WITNESSES = {
     "extract_pdf_documents": witness_extract_pdf_documents,
     "pdf_page_explode": witness_pdf_page_explode,
     "lang_simhash": witness_lang_simhash,
+    "compression_signal": witness_compression_signal,
     "simhash_dup_pairs": witness_simhash_dup_pairs,
     "minhash_dup_pairs": witness_minhash_dup_pairs,
     "near_dup_verified": witness_near_dup_verified,
