@@ -1150,6 +1150,66 @@ def _q_events_sessionized_stream(spark, sf_dir):
     )
 
 
+def _q_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring (X38), fully distributed: train a
+    bigram language model on the corpus's own train split (doc_id % 10
+    < 8) via one partial-aggregated gram count, then score EVERY
+    document by its average gram weight.  Weights are the
+    integer-quantized log-likelihood floor(log2(count + 1)) — computed
+    as length(bin(c + 1)) - 1, which is integer-exact in both engines,
+    so the distributed per-doc sum is order-independent and the DuckDB
+    oracle hash-proves it (a libm-log variant differs only by
+    quantization; the filter consumer thresholds the average either
+    way).  OOV grams weigh 0; docs with < 2 words score NULL.
+
+    Scale shape: gram counting is one partial-aggregated group-by; the
+    scoring join is keyed on the gram (AQE broadcasts it when the
+    pruned LM is small, bucketed co-location otherwise); the per-doc
+    aggregate is partial-aggregated integer sums.  Never a collect,
+    never a corpus broadcast — the model never leaves the cluster."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = ws.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> array_join(slice(ws, i, 2), ' '))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("g"),
+    )
+    counts = (
+        grams.filter(F.col("doc_id") % 10 < 8)
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+    )
+    weight = F.length(F.bin(F.coalesce(F.col("c"), F.lit(0)) + 1)) - 1
+    per_doc = (
+        grams.join(counts, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(weight).alias("llq_sum"),
+            F.count("*").alias("n_grams"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("llq_sum", F.lit(0)).alias("llq_sum"),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.when(
+                F.col("n_grams") > 0, F.col("llq_sum") / F.col("n_grams")
+            ).alias("avg_llq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_compression_signal(spark, sf_dir):
     """Gopher-style compression-ratio quality signal (X37): zlib-6
     compressed size over raw UTF-8 size per document — repetitive
@@ -1825,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup_stream": _q_events_dedup_stream,
         "incremental_dedup": _q_incremental_dedup,
         "compression_signal": _q_compression_signal,
+        "lm_score": _q_lm_score,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -2768,6 +2829,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY src_host, dst_host
         """,
         "bm25_search": _bm25_oracle_sql(),
+        "lm_score": """
+            WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), grams AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+                FROM ws, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 2
+            ), counts AS (
+                SELECT g, count(*) AS c FROM grams
+                WHERE doc_id % 10 < 8 GROUP BY g
+            ), per_doc AS (
+                SELECT grams.doc_id,
+                       CAST(sum(length(bin(coalesce(counts.c, 0) + 1)) - 1)
+                            AS BIGINT) AS llq_sum,
+                       count(*) AS n_grams
+                FROM grams LEFT JOIN counts ON grams.g = counts.g
+                GROUP BY grams.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(per_doc.llq_sum, 0) AS llq_sum,
+                   coalesce(per_doc.n_grams, 0) AS n_grams,
+                   CASE WHEN per_doc.n_grams > 0
+                        THEN per_doc.llq_sum / per_doc.n_grams
+                        ELSE NULL END AS avg_llq
+            FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+            ORDER BY d.doc_id
+        """,
         "compression_signal": f"""
             SELECT doc_id, n_bytes, n_compressed,
                    CASE WHEN n_bytes > 0
