@@ -1235,6 +1235,125 @@ def _q_compression_signal(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_bpe_pair_counts(spark, sf_dir):
+    """X39 (tokenizer training, iteration-0 statistics): corpus-weighted
+    adjacent-symbol-pair counts — the scoring table BPE's first merge
+    selects from.  Symbols are unicode characters, so a pair is the
+    2-char substring at each position, weighted by the word's corpus
+    frequency.  Integer-exact; top-200 under the total order
+    (n DESC, pair ASC) so the result is engine-independent.
+
+    Scale shape: one partial-aggregated word-count shuffle (|vocab|
+    rows cross the exchange, not |corpus| tokens) -> pair explode over
+    the SMALL vocab frame -> one more partial-aggregated group-by ->
+    TakeOrdered.  The corpus is scanned once."""
+    from ocr_pipeline_spark.operators.bpe import word_counts_df
+
+    wc = word_counts_df(_t(spark, sf_dir, "documents"))
+    pairs = wc.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.expr(
+                    "transform(sequence(1, length(word) - 1), "
+                    "i -> substring(word, i, 2))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(200)
+    )
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """X39 (tokenizer training): the learned BPE merge list.  The
+    corpus-bound stage is the distributed weighted word count; merge
+    learning runs over the BOUNDED top-V vocabulary (V rows cross to
+    the driver regardless of corpus size — the SentencePiece/HF
+    architecture, see operators/bpe.py).  Oracle: golden witness from
+    the single-process twin (scripts/gen_witness.py) — equality proves
+    distributed-wordcount + bounded-vocab training == direct training
+    over the raw corpus."""
+    from ocr_pipeline_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(
+        _t(spark, sf_dir, "documents"), n_merges=64, vocab_cap=20_000
+    )
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        schema="rank int, lhs string, rhs string",
+    ).orderBy("rank")
+
+
+def _q_bpe_encode_stats(spark, sf_dir):
+    """X39 (tokenizer application): encode EVERY document with the
+    learned merges — the fan-back-out stage that is the real corpus-
+    scale workload.  Merges (a few KB) ship in the task closure; the
+    Arrow kernel memoizes per-word token counts so the Zipf head costs
+    dict hits.  Witness-oracled by the single-process twin: per-doc
+    (n_words, n_tokens) are integers, so the hash compare is exact."""
+    from ocr_pipeline_spark.operators.bpe import (
+        ENCODE_DDL,
+        bpe_encode_kernel,
+        train_bpe,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=64, vocab_cap=20_000)
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(bpe_encode_kernel(merges), schema=ENCODE_DDL)
+        .orderBy("doc_id")
+    )
+
+
+def _q_term_postings(spark, sf_dir):
+    """X40: inverted-index postings construction — the lexical-retrieval
+    index build (the persistent artifact behind bm25_search's on-the-fly
+    stats).  Per term: document frequency, total term frequency, and
+    the head of the doc_id-sorted posting list.
+
+    Scale shape: the index build IS a sort by (term, doc_id) — the
+    per-doc tf frame partial-aggregates map-side, the posting head is
+    bounded by a row_number window (per-group state is the sort's
+    spill-aware buffer, NEVER an unbounded collect_list over a stopword
+    term's whole corpus), and the full-index variant would writeTo a
+    term-bucketed table instead of slicing a head.  Integer-exact."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    stats = per_doc.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("tf_total")
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    heads = (
+        per_doc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 32)
+        .groupBy("term")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("plist"))
+    )
+    return (
+        stats.join(heads, "term")
+        .filter(F.col("df") >= 25)
+        .select(
+            "term",
+            "df",
+            "tf_total",
+            F.array_join(
+                F.expr("transform(plist, x -> cast(x as string))"), ","
+            ).alias("postings_head"),
+        )
+        .orderBy("term")
+    )
+
+
 def _q_incremental_dedup(spark, sf_dir):
     """Rolling-crawl incremental dedup (the operational shape of X1 at
     100 TB: each new crawl drop dedups against the already-indexed
@@ -1886,6 +2005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "compression_signal": _q_compression_signal,
         "lm_score": _q_lm_score,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode_stats": _q_bpe_encode_stats,
+        "term_postings": _q_term_postings,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -2889,6 +3012,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, h FROM survivors WHERE rk = 1
             ORDER BY doc_id
+        """,
+        "bpe_pair_counts": """
+            WITH words AS (
+                SELECT w, count(*) AS wc FROM (
+                    SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents
+                ) WHERE length(w) > 0 GROUP BY w
+            ), pairs AS (
+                SELECT substr(w, CAST(i AS INT), 2) AS pair, wc
+                FROM words,
+                     LATERAL unnest(generate_series(1, length(w) - 1))
+                         AS t(i)
+                WHERE length(w) >= 2
+            )
+            SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair LIMIT 200
+        """,
+        "bpe_merges": f"""
+            SELECT rank, lhs, rhs
+            FROM read_parquet('{_WITNESS_DIR}/bpe_merges.parquet')
+            ORDER BY rank
+        """,
+        "bpe_encode_stats": f"""
+            SELECT doc_id, n_words, n_tokens
+            FROM read_parquet('{_WITNESS_DIR}/bpe_encode_stats.parquet')
+            ORDER BY doc_id
+        """,
+        "term_postings": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), per_doc AS (
+                SELECT term, doc_id, count(*) AS tf
+                FROM toks WHERE length(term) > 0
+                GROUP BY term, doc_id
+            ), stats AS (
+                SELECT term,
+                       CAST(count(*) AS BIGINT) AS df,
+                       CAST(sum(tf) AS BIGINT) AS tf_total
+                FROM per_doc GROUP BY term
+            ), ranked AS (
+                SELECT term, doc_id,
+                       row_number() OVER (
+                           PARTITION BY term ORDER BY doc_id
+                       ) AS rk
+                FROM per_doc
+            ), heads AS (
+                SELECT term,
+                       string_agg(CAST(doc_id AS VARCHAR), ','
+                                  ORDER BY doc_id) AS postings_head
+                FROM ranked WHERE rk <= 32 GROUP BY term
+            )
+            SELECT s.term, s.df, s.tf_total, h.postings_head
+            FROM stats s JOIN heads h USING (term)
+            WHERE s.df >= 25
+            ORDER BY s.term
         """,
         "vocab_stats": """
             WITH terms AS (

@@ -191,7 +191,8 @@ def main() -> None:
             "dup_spans", "filter_funnel", "dedup_apply_spans",
             "stratified_sample", "host_link_graph", "host_pagerank",
             "bm25_search", "vocab_stats", "incremental_dedup",
-            "compression_signal", "lm_score",
+            "compression_signal", "lm_score", "bpe_pair_counts",
+            "bpe_encode_stats", "term_postings",
         ]
         qs = entry_mod.queries()
         _probe_idle("query_suite_pre", idle_fracs)

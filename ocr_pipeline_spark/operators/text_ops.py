@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import re
 import struct
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
@@ -266,7 +267,9 @@ def log_overflow_metrics(observation, label: str) -> None:
             metrics = observation.get
         except Exception:
             return
-        print(f"[lineage] {label}: {metrics}", flush=True)
+        # stderr, NOT stdout: bench.py's contract is exactly one JSON
+        # line on stdout, and this thread can fire mid-bench.
+        print(f"[lineage] {label}: {metrics}", file=sys.stderr, flush=True)
 
     threading.Thread(target=_wait, daemon=True, name=f"obs-{label}").start()
 

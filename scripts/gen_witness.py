@@ -371,6 +371,58 @@ def witness_host_link_graph() -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["src_host", "dst_host", "n_links"])
 
 
+def _bpe_train_single_process() -> list[tuple[str, str]]:
+    """Single-process twin of operators/bpe.train_bpe at the query's
+    parameters (n_merges=64, vocab_cap=20000): pure-Python Counter word
+    count over the raw corpus, the SAME (wc DESC, word ASC) truncation,
+    then the shared learn_bpe merge loop.  Equality with the Spark path
+    proves distributed-wordcount + bounded-vocab == direct training."""
+    from collections import Counter
+
+    from ocr_pipeline_spark.operators.bpe import learn_bpe
+
+    counts: Counter = Counter()
+    for t in _docs_texts().text:
+        for w in (t or "").split(" "):
+            if w:
+                counts[w] += 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20_000]
+    return learn_bpe(dict(top), n_merges=64)
+
+
+def witness_bpe_merges() -> pd.DataFrame:
+    """X39 witness: the learned merge list; columns (rank, lhs, rhs)."""
+    merges = _bpe_train_single_process()
+    return pd.DataFrame(
+        [{"rank": i, "lhs": l, "rhs": r} for i, (l, r) in enumerate(merges)],
+        columns=["rank", "lhs", "rhs"],
+    ).astype({"rank": "int32"})
+
+
+def witness_bpe_encode_stats() -> pd.DataFrame:
+    """X39 witness: per-document (n_words, n_tokens) under the learned
+    merges — single-process encode loop, integer-exact."""
+    from ocr_pipeline_spark.operators.bpe import encode_word
+
+    ranks = {p: i for i, p in enumerate(_bpe_train_single_process())}
+    memo: dict[str, int] = {}
+    rows = []
+    docs = _docs_texts()
+    for d, t in zip(docs.doc_id, docs.text):
+        words = [w for w in (t or "").split(" ") if w]
+        total = 0
+        for w in words:
+            nt = memo.get(w)
+            if nt is None:
+                nt = len(encode_word(w, ranks))
+                memo[w] = nt
+            total += nt
+        rows.append(
+            {"doc_id": int(d), "n_words": len(words), "n_tokens": total}
+        )
+    return pd.DataFrame(rows, columns=["doc_id", "n_words", "n_tokens"])
+
+
 WITNESSES = {
     "extract_documents": witness_extract_documents,
     "assemble_documents": witness_assemble_documents,
@@ -383,6 +435,8 @@ WITNESSES = {
     "near_dup_verified": witness_near_dup_verified,
     "media_features": witness_media_features,
     "host_link_graph": witness_host_link_graph,
+    "bpe_merges": witness_bpe_merges,
+    "bpe_encode_stats": witness_bpe_encode_stats,
 }
 
 
