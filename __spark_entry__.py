@@ -1354,6 +1354,99 @@ def _q_term_postings(spark, sf_dir):
     )
 
 
+def _q_blocklist_tags(spark, sf_dir):
+    """X41: word-list + source blocklist tagging — the C4 "bad words" /
+    RefinedWeb URL-blocklist filter shape.  Per document: blocked-term
+    hits, word count, and the verdict — blocked if the source is on the
+    blocklist or blocked terms are >=5% of words (integer cross-
+    multiplied predicate, no float threshold, so the oracle is exact).
+
+    Scale shape: the lexicon and source list ride the plan as literals
+    (a real deployment swaps them for a broadcast join against a
+    blocklist table); one narrow projection, no shuffle at all — the
+    tagger is a map over the scan."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(
+                F.filter(ws, lambda w: w.isin("slow", "spam", "junk"))
+            ).alias("hits"),
+            F.size(ws).alias("n_words"),
+        )
+        .withColumn(
+            "blocked",
+            (
+                F.col("source").isin("src7", "src13")
+                | (20 * F.col("hits") >= F.col("n_words"))
+            ).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_mixing_weights(spark, sf_dir):
+    """X42: temperature-based language-mixing weights — the multilingual
+    sampling table (weight ∝ count^alpha, alpha=1/2 flattens the head so
+    low-resource languages are upsampled; XLM/mT5 recipe).  Exact float
+    path: sqrt is IEEE-correctly-rounded in both engines, max is a
+    selection, and the only other float op is ONE division by the
+    max-language weight — no order-dependent float sum anywhere, so the
+    oracle hash-matches bit-for-bit.
+
+    Scale shape: one partial-aggregated group-by down to |langs| rows,
+    then a broadcast cross join for the max — nothing but the tiny lang
+    table ever moves."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    per_lang = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(ws)).alias("n_tokens"),
+    )
+    mx = per_lang.agg(
+        F.max(F.sqrt(F.col("n_tokens").cast("double"))).alias("w_max")
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(mx))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            (
+                F.sqrt(F.col("n_tokens").cast("double")) / F.col("w_max")
+            ).alias("rel_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_semdedup(spark, sf_dir):
+    """X43: SemDeDup (Abbas et al. 2023) — semantic dedup in embedding
+    space: spherical k-means cells, then within each cell drop any
+    member with an earlier-ranked (farther-from-centroid) member within
+    cosine 0.35.  Centroids train on a bounded md5-ordered sample
+    (O(sample) driver transfer, partition-independent); assignment is a
+    broadcast-centroids Arrow kernel; the dedup is ONE shuffle on the
+    cell id + a per-cell GEMM.  Oracle: golden witness from the
+    single-process twin (scripts/gen_witness.py) — the numpy kernels
+    use fixed-order reductions so equality is bit-exact, including the
+    float64 cent_sim column."""
+    from ocr_pipeline_spark.operators.semdedup import (
+        semdedup,
+        train_centroids_sample,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids_sample(
+        e, "embedding", "vec_id", n_cells=8, sample_n=256, iters=8
+    )
+    return semdedup(e, "embedding", "vec_id", cents, tau=0.35).orderBy(
+        "vec_id"
+    )
+
+
 def _q_incremental_dedup(spark, sf_dir):
     """Rolling-crawl incremental dedup (the operational shape of X1 at
     100 TB: each new crawl drop dedups against the already-indexed
@@ -2009,6 +2102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_stats": _q_bpe_encode_stats,
         "term_postings": _q_term_postings,
+        "blocklist_tags": _q_blocklist_tags,
+        "mixing_weights": _q_mixing_weights,
+        "semdedup": _q_semdedup,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -3069,6 +3165,45 @@ def oracle_sql() -> dict[str, str]:
             FROM stats s JOIN heads h USING (term)
             WHERE s.df >= 25
             ORDER BY s.term
+        """,
+        "blocklist_tags": """
+            WITH tagged AS (
+                SELECT doc_id, source,
+                       CAST(len(list_filter(
+                           list_filter(string_split(text, ' '),
+                                       w -> length(w) > 0),
+                           w -> w IN ('slow', 'spam', 'junk')
+                       )) AS INT) AS hits,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            w -> length(w) > 0))
+                            AS INT) AS n_words
+                FROM documents
+            )
+            SELECT doc_id, source, hits, n_words,
+                   CAST(source IN ('src7', 'src13')
+                        OR 20 * hits >= n_words AS INT) AS blocked
+            FROM tagged ORDER BY doc_id
+        """,
+        "mixing_weights": """
+            WITH per_lang AS (
+                SELECT lang,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(list_filter(string_split(text, ' '),
+                                                w -> length(w) > 0)))
+                            AS BIGINT) AS n_tokens
+                FROM documents GROUP BY lang
+            ), mx AS (
+                SELECT max(sqrt(CAST(n_tokens AS DOUBLE))) AS w_max
+                FROM per_lang
+            )
+            SELECT lang, n_docs, n_tokens,
+                   sqrt(CAST(n_tokens AS DOUBLE)) / w_max AS rel_weight
+            FROM per_lang, mx ORDER BY lang
+        """,
+        "semdedup": f"""
+            SELECT vec_id, cell, cent_sim, keep
+            FROM read_parquet('{_WITNESS_DIR}/semdedup.parquet')
+            ORDER BY vec_id
         """,
         "vocab_stats": """
             WITH terms AS (

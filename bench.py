@@ -192,7 +192,8 @@ def main() -> None:
             "stratified_sample", "host_link_graph", "host_pagerank",
             "bm25_search", "vocab_stats", "incremental_dedup",
             "compression_signal", "lm_score", "bpe_pair_counts",
-            "bpe_encode_stats", "term_postings",
+            "bpe_encode_stats", "term_postings", "blocklist_tags",
+            "mixing_weights", "semdedup",
         ]
         qs = entry_mod.queries()
         _probe_idle("query_suite_pre", idle_fracs)

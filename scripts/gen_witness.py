@@ -423,6 +423,56 @@ def witness_bpe_encode_stats() -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "n_words", "n_tokens"])
 
 
+def witness_semdedup() -> pd.DataFrame:
+    """X43 witness: SemDeDup keep/drop table — the full pipeline
+    (md5-ordered bounded sample -> driver Lloyd -> assign -> per-cell
+    rank-and-drop) replayed single-process with the SAME pure-numpy
+    kernels the Spark path uses.  Every cross-row reduction in those
+    kernels is fixed-order over the embedding dimension, so equality
+    with the distributed output is bit-exact, not approximate."""
+    import hashlib
+
+    from ocr_pipeline_spark.operators.semdedup import (
+        cell_sims,
+        lloyd_spherical,
+        normalize_rows,
+        semdedup_cell,
+    )
+
+    emb = pd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = emb.vec_id.to_numpy().astype("int64")
+    # the query's deterministic sample: smallest (md5(str(id)), id) rows
+    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    order = sorted(range(len(ids)), key=lambda j: (keys[j], ids[j]))
+    X = np.array(
+        [list(emb.embedding.iloc[j]) for j in order[:256]], dtype=np.float64
+    )
+    # mirror the Spark path's exact float sequence: Lloyd -> python-float
+    # round-trip -> renormalize (semdedup() renormalizes its input)
+    C = [
+        [float(x) for x in row]
+        for row in lloyd_spherical(X, n_cells=8, iters=8)
+    ]
+    Cn = normalize_rows(np.array(C, dtype=np.float64))
+    Vn = normalize_rows(
+        np.array([list(v) for v in emb.embedding], dtype=np.float64)
+    )
+    sims = cell_sims(Vn, Cn)
+    cell = np.argmax(sims, axis=1)
+    cent_sim = sims[np.arange(len(cell)), cell]
+    parts = []
+    for c in sorted(set(cell.tolist())):
+        m = cell == c
+        out = semdedup_cell(ids[m], Vn[m], cent_sim[m], tau=0.35)
+        out.insert(1, "cell", np.int32(c))
+        parts.append(out)
+    return (
+        pd.concat(parts, ignore_index=True)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
 WITNESSES = {
     "extract_documents": witness_extract_documents,
     "assemble_documents": witness_assemble_documents,
@@ -435,6 +485,7 @@ WITNESSES = {
     "near_dup_verified": witness_near_dup_verified,
     "media_features": witness_media_features,
     "host_link_graph": witness_host_link_graph,
+    "semdedup": witness_semdedup,
     "bpe_merges": witness_bpe_merges,
     "bpe_encode_stats": witness_bpe_encode_stats,
 }
