@@ -1422,6 +1422,39 @@ def _q_mixing_weights(spark, sf_dir):
     )
 
 
+def _q_warc_records(spark, sf_dir):
+    """X44: WARC source round-trip — pack the documents corpus into
+    Common-Crawl-layout WARC files (per-record gzip members, 50 pages
+    per file), then split them back into page records distributed and
+    peel the HTTP envelope.  Oracle: golden witness computed WITHOUT
+    the WARC writer or parser (url/date/md5/lengths derived directly
+    from the wrapped pages), so a hash match proves the full
+    build -> gzip -> member-split -> Content-Length walk -> HTTP-split
+    pipeline recovers every record byte-exactly.
+
+    Scale shape: blob packing is the fixture side; the product path is
+    `warc_pages_df` — a narrow mapInPandas over a binaryFile scan of
+    crawl objects, no shuffle, bomb-guarded per record."""
+    from ocr_pipeline_spark.sources.warc import (
+        documents_as_warc_df,
+        warc_pages_df,
+    )
+
+    blobs = documents_as_warc_df(
+        _t(spark, sf_dir, "documents"), group_size=50, per_record_gzip=True
+    )
+    recs = warc_pages_df(blobs, "warc")
+    return recs.select(
+        "url",
+        "warc_date",
+        "rec_type",
+        "http_status",
+        F.md5("html").alias("html_md5"),
+        F.length("html").alias("n_html_bytes"),
+        "n_rec_bytes",
+    ).orderBy("url")
+
+
 def _q_semdedup(spark, sf_dir):
     """X43: SemDeDup (Abbas et al. 2023) — semantic dedup in embedding
     space: spherical k-means cells, then within each cell drop any
@@ -2105,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_tags": _q_blocklist_tags,
         "mixing_weights": _q_mixing_weights,
         "semdedup": _q_semdedup,
+        "warc_records": _q_warc_records,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -3204,6 +3238,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cell, cent_sim, keep
             FROM read_parquet('{_WITNESS_DIR}/semdedup.parquet')
             ORDER BY vec_id
+        """,
+        "warc_records": f"""
+            SELECT url, warc_date, rec_type, http_status, html_md5,
+                   n_html_bytes, n_rec_bytes
+            FROM read_parquet('{_WITNESS_DIR}/warc_records.parquet')
+            ORDER BY url
         """,
         "vocab_stats": """
             WITH terms AS (

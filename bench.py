@@ -193,7 +193,7 @@ def main() -> None:
             "bm25_search", "vocab_stats", "incremental_dedup",
             "compression_signal", "lm_score", "bpe_pair_counts",
             "bpe_encode_stats", "term_postings", "blocklist_tags",
-            "mixing_weights", "semdedup",
+            "mixing_weights", "semdedup", "warc_records",
         ]
         qs = entry_mod.queries()
         _probe_idle("query_suite_pre", idle_fracs)

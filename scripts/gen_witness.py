@@ -473,6 +473,42 @@ def witness_semdedup() -> pd.DataFrame:
     )
 
 
+def witness_warc_records() -> pd.DataFrame:
+    """X44 witness: expected per-record fields computed WITHOUT the WARC
+    writer or parser — url/date straight from the page wrapper, md5 and
+    byte length from the raw html, record size from envelope arithmetic
+    — so equality with the Spark path proves the build -> gzip ->
+    parse -> HTTP-split round trip is byte-exact, not merely
+    self-consistent."""
+    import hashlib
+
+    from ocr_pipeline_spark.fixtures.gen_pages import wrap_document_as_page
+    from ocr_pipeline_spark.sources.warc import http_response_payload
+
+    docs = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    rows = []
+    for d, t, l, s in zip(docs.doc_id, docs.text, docs.lang, docs.source):
+        page = wrap_document_as_page(int(d), t, l, s)
+        html = page["html"]
+        rows.append(
+            {
+                "url": page["url"],
+                "warc_date": page["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "rec_type": "response",
+                "http_status": 200,
+                "html_md5": hashlib.md5(html).hexdigest(),
+                "n_html_bytes": len(html),
+                "n_rec_bytes": len(http_response_payload(html)),
+            }
+        )
+    return (
+        pd.DataFrame(rows)
+        .astype({"http_status": "int32", "n_html_bytes": "int32"})
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
 WITNESSES = {
     "extract_documents": witness_extract_documents,
     "assemble_documents": witness_assemble_documents,
@@ -486,6 +522,7 @@ WITNESSES = {
     "media_features": witness_media_features,
     "host_link_graph": witness_host_link_graph,
     "semdedup": witness_semdedup,
+    "warc_records": witness_warc_records,
     "bpe_merges": witness_bpe_merges,
     "bpe_encode_stats": witness_bpe_encode_stats,
 }
