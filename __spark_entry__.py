@@ -1455,6 +1455,125 @@ def _q_warc_records(spark, sf_dir):
     ).orderBy("url")
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """X45: DSIR importance-resampling weights (Xie et al. 2023 shape):
+    hashed-n-gram likelihood ratio between a target slice (lang='en' —
+    "make the raw crawl look like the curated target") and the raw
+    corpus, summed per document.  Features are word uni+bigrams hashed
+    to 1024 buckets (first 3 md5 hex digits, engine-portable); per-
+    bucket weight is the integer-quantized log-likelihood ratio
+    floor(log2(c_target+1)) - floor(log2(c_raw+1)) via length(bin(c+1)),
+    so every cross-row sum is an order-independent integer sum and the
+    DuckDB oracle hash-proves the whole pipeline.  The resampling
+    verdict `keep` (doc's avg weight above the corpus mean) is a
+    cross-multiplied integer comparison — no float aggregate anywhere.
+
+    Scale shape: gram explode -> hash -> ONE partial-aggregated
+    group-by to <=1024 bucket-stat rows (broadcast back) -> per-doc
+    integer partial agg -> global scalar rides a broadcast cross join.
+    The bucket table is O(1024) regardless of corpus size; nothing
+    collects."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+    grams = ws.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                F.col("ws"),
+                F.when(
+                    F.size("ws") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(ws) - 1), "
+                        "i -> array_join(slice(ws, i, 2), ' '))"
+                    ),
+                ).otherwise(F.expr("array()")),
+            )
+        ).alias("g"),
+    )
+    digit = lambda i: F.expr(  # noqa: E731
+        f"locate(substring(md5(g), {i}, 1), '0123456789abcdef') - 1"
+    )
+    feats = grams.select(
+        "doc_id",
+        "lang",
+        ((digit(1) * 256 + digit(2) * 16 + digit(3)) % 1024).alias("b"),
+    )
+    stats = feats.groupBy("b").agg(
+        F.count("*").alias("c_raw"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_tgt"),
+    )
+    qlog = lambda c: F.length(F.bin(c + 1)) - 1  # noqa: E731
+    weighted = (
+        feats.join(F.broadcast(stats), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(qlog(F.col("c_tgt")) - qlog(F.col("c_raw"))).alias(
+                "llr_sum"
+            ),
+            F.count("*").alias("n_feats"),
+        )
+    )
+    totals = weighted.agg(
+        F.sum("llr_sum").alias("tot_llr"),
+        F.sum("n_feats").alias("tot_feats"),
+    )
+    return (
+        d.select("doc_id")
+        .join(weighted, "doc_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.coalesce("llr_sum", F.lit(0)).alias("llr_sum"),
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.when(
+                F.col("n_feats") > 0, F.col("llr_sum") / F.col("n_feats")
+            ).alias("avg_llr"),
+            (
+                F.coalesce("llr_sum", F.lit(0)) * F.col("tot_feats")
+                > F.col("tot_llr") * F.coalesce("n_feats", F.lit(0))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_classifier_scores(spark, sf_dir):
+    """X46: hashed-feature linear classifier inference (the
+    DCLM/FineWeb-Edu fastText-classifier shape): per-document quality
+    score = sum over words of a weight looked up by feature hash.
+    Weights here are synthesized deterministically from the feature
+    hash itself (first two md5 hex digits - 128 -> [-128, 127]); a
+    deployment swaps in trained weights as a broadcast array without
+    changing the plan.  All-integer, so the score is order-independent
+    and the DuckDB oracle hash-proves it.
+
+    Scale shape: ZERO shuffles — score and verdict are computed per
+    row with JVM higher-order functions (transform + aggregate) inside
+    whole-stage codegen; inference cost is a pure map over the scan,
+    exactly what classifier-filtering 100 TB requires."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        "(locate(substring(md5(concat('w', w)), 1, 1), "
+        "'0123456789abcdef') - 1) * 16 "
+        "+ locate(substring(md5(concat('w', w)), 2, 1), "
+        "'0123456789abcdef') - 1 - 128"
+    )
+    score = F.expr(
+        f"aggregate(transform(split(text, ' '), w -> {w}), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_words"),
+            score.alias("score"),
+        )
+        .withColumn("label", F.col("score") >= 0)
+        .orderBy("doc_id")
+    )
+
+
 def _q_semdedup(spark, sf_dir):
     """X43: SemDeDup (Abbas et al. 2023) — semantic dedup in embedding
     space: spherical k-means cells, then within each cell drop any
@@ -2139,6 +2258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixing_weights": _q_mixing_weights,
         "semdedup": _q_semdedup,
         "warc_records": _q_warc_records,
+        "dsir_weights": _q_dsir_weights,
+        "classifier_scores": _q_classifier_scores,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -3244,6 +3365,73 @@ def oracle_sql() -> dict[str, str]:
                    n_html_bytes, n_rec_bytes
             FROM read_parquet('{_WITNESS_DIR}/warc_records.parquet')
             ORDER BY url
+        """,
+        "dsir_weights": """
+            WITH ws AS (
+                SELECT doc_id, lang, string_split(text, ' ') AS ws
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, lang, unnest(ws) AS g FROM ws
+                UNION ALL
+                SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
+                FROM ws, LATERAL unnest(generate_series(1, len(ws) - 1))
+                          AS t(i)
+                WHERE len(ws) >= 2
+            ), feats AS (
+                SELECT doc_id, lang,
+                       ((strpos('0123456789abcdef', substr(md5(g), 1, 1))
+                         - 1) * 256
+                      + (strpos('0123456789abcdef', substr(md5(g), 2, 1))
+                         - 1) * 16
+                      + (strpos('0123456789abcdef', substr(md5(g), 3, 1))
+                         - 1)) % 1024 AS b
+                FROM grams
+            ), stats AS (
+                SELECT b, count(*) AS c_raw,
+                       count(CASE WHEN lang = 'en' THEN 1 END) AS c_tgt
+                FROM feats GROUP BY b
+            ), weighted AS (
+                SELECT feats.doc_id,
+                       CAST(sum((length(bin(c_tgt + 1)) - 1)
+                              - (length(bin(c_raw + 1)) - 1))
+                            AS BIGINT) AS llr_sum,
+                       count(*) AS n_feats
+                FROM feats JOIN stats USING (b)
+                GROUP BY feats.doc_id
+            ), tot AS (
+                SELECT CAST(sum(llr_sum) AS BIGINT) AS tot_llr,
+                       CAST(sum(n_feats) AS BIGINT) AS tot_feats
+                FROM weighted
+            )
+            SELECT d.doc_id,
+                   coalesce(w.llr_sum, 0) AS llr_sum,
+                   coalesce(w.n_feats, 0) AS n_feats,
+                   CASE WHEN w.n_feats > 0
+                        THEN w.llr_sum / w.n_feats END AS avg_llr,
+                   coalesce(w.llr_sum, 0) * tot.tot_feats
+                       > tot.tot_llr * coalesce(w.n_feats, 0) AS keep
+            FROM documents d
+            LEFT JOIN weighted w ON d.doc_id = w.doc_id
+            CROSS JOIN tot
+            ORDER BY d.doc_id
+        """,
+        "classifier_scores": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        w -> (strpos('0123456789abcdef',
+                                     substr(md5('w' || w), 1, 1)) - 1) * 16
+                           + strpos('0123456789abcdef',
+                                    substr(md5('w' || w), 2, 1)) - 1 - 128))
+                        AS BIGINT) AS score,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        w -> (strpos('0123456789abcdef',
+                                     substr(md5('w' || w), 1, 1)) - 1) * 16
+                           + strpos('0123456789abcdef',
+                                    substr(md5('w' || w), 2, 1)) - 1 - 128))
+                        AS BIGINT) >= 0 AS label
+            FROM documents
+            ORDER BY doc_id
         """,
         "vocab_stats": """
             WITH terms AS (

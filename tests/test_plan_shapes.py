@@ -199,3 +199,29 @@ def test_incremental_dedup_is_antijoin_no_broadcast_of_corpus(spark):
     assert "LeftAnti" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_classifier_inference_is_map_only(spark):
+    """classifier_scores' scale contract: hashed-linear-model inference
+    is a pure map over the scan — the ONLY exchange in the plan is the
+    final presentation sort (rangepartitioning); no hash shuffle, no
+    join, no Python worker."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["classifier_scores"](spark, SF_DIR))
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan, (
+        plan[:2000]
+    )
+
+
+def test_dsir_bucket_stats_join_is_broadcast(spark):
+    """dsir_weights' scale contract: the <=1024-row bucket-stats table
+    and the 1-row global-totals scalar both attach via broadcast — the
+    gram stream is never shuffled for the weight lookup."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["dsir_weights"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
