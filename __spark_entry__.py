@@ -1538,6 +1538,68 @@ def _q_dsir_weights(spark, sf_dir):
     )
 
 
+def _q_line_dedup(spark, sf_dir):
+    """X47: CCNet/RefinedWeb-style paragraph-level dedup — drop every
+    paragraph whose content appears in MORE THAN ONE distinct document
+    (document frequency across the corpus; repeats *within* one doc are
+    kept), then re-assemble each document from its surviving paragraphs
+    in original order.  Paragraphs are the fixture's 40-word chunks
+    (matching gen_pages.wrap_document_as_page), keyed by md5 so the
+    frequency join is engine-portable.  The re-assembled text is
+    witnessed by md5, so the oracle proves byte-equal reassembly, not
+    just matching counts.
+
+    Scale shape: posexplode -> ONE partial-aggregated group-by on the
+    paragraph hash (countDistinct doc_id is a two-phase partial agg) ->
+    hash-keyed join back (bucketable; AQE broadcasts the duplicated-
+    lines side when small, as it is in real crawls where dup lines are
+    a tail) -> per-doc sort_array(collect_list) bounded by document
+    size.  No pair expansion anywhere — this is the linear-cost
+    alternative to pairwise near-dup for boilerplate/banner removal."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    lines = ws.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(floor((size(ws) - 1) / 40) "
+                "as int)), i -> array_join(slice(ws, i * 40 + 1, 40), ' '))"
+            )
+        ).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.encode("line", "UTF-8")))
+    freq = lines.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    kept = lines.join(freq, "h").filter(F.col("df") <= 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "\n",
+                    F.expr(
+                        "transform(sort_array(collect_list("
+                        "struct(pos, line))), x -> x.line)"
+                    ),
+                ),
+                "UTF-8",
+            )
+        ).alias("kept_md5"),
+    )
+    n_lines = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    return (
+        n_lines.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_md5", F.lit(empty_md5)).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_classifier_scores(spark, sf_dir):
     """X46: hashed-feature linear classifier inference (the
     DCLM/FineWeb-Edu fastText-classifier shape): per-document quality
@@ -2260,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": _q_warc_records,
         "dsir_weights": _q_dsir_weights,
         "classifier_scores": _q_classifier_scores,
+        "line_dedup": _q_line_dedup,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -3414,6 +3477,42 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN weighted w ON d.doc_id = w.doc_id
             CROSS JOIN tot
             ORDER BY d.doc_id
+        """,
+        "line_dedup": """
+            WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(ws[i * 40 + 1 : i * 40 + 40], ' ')
+                           AS line
+                FROM ws, LATERAL unnest(generate_series(
+                         0, CAST(floor((len(ws) - 1) / 40) AS BIGINT)))
+                     AS t(i)
+            ), freq AS (
+                SELECT md5(line) AS h,
+                       count(DISTINCT doc_id) AS df
+                FROM lines GROUP BY md5(line)
+            ), kept AS (
+                SELECT lines.* FROM lines
+                JOIN freq ON md5(lines.line) = freq.h
+                WHERE freq.df <= 1
+            ), rebuilt AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       md5(string_agg(line, chr(10) ORDER BY pos))
+                           AS kept_md5
+                FROM kept GROUP BY doc_id
+            ), n_lines AS (
+                SELECT doc_id, count(*) AS n_lines FROM lines
+                GROUP BY doc_id
+            )
+            SELECT n_lines.doc_id, n_lines.n_lines,
+                   coalesce(rebuilt.n_kept, 0) AS n_kept,
+                   coalesce(rebuilt.kept_md5,
+                            'd41d8cd98f00b204e9800998ecf8427e') AS kept_md5
+            FROM n_lines LEFT JOIN rebuilt
+                 ON n_lines.doc_id = rebuilt.doc_id
+            ORDER BY n_lines.doc_id
         """,
         "classifier_scores": """
             SELECT doc_id,

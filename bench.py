@@ -194,7 +194,7 @@ def main() -> None:
             "compression_signal", "lm_score", "bpe_pair_counts",
             "bpe_encode_stats", "term_postings", "blocklist_tags",
             "mixing_weights", "semdedup", "warc_records",
-            "dsir_weights", "classifier_scores",
+            "dsir_weights", "classifier_scores", "line_dedup",
         ]
         qs = entry_mod.queries()
         _probe_idle("query_suite_pre", idle_fracs)

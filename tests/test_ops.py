@@ -1229,3 +1229,41 @@ def test_image_decoders_bounded_on_bombs_and_garbage():
                     b"\xff\xd8" + b"\x9c" * 50, b"GIF89a\x01"):
         f = image_features(payload, dim=8)
         assert len(f) == 8 and abs(sum(f) - 1.0) < 1e-3
+
+
+def test_line_dedup_drops_cross_doc_paragraphs(spark):
+    """line_dedup (X47) must not be vacuous on the driver corpus: some
+    paragraphs DO repeat across documents at sf0.01 and must be
+    dropped from every document containing them, while unique-paragraph
+    docs reassemble to exactly their original text."""
+    import hashlib
+
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.01"
+    rows = entry_mod.queries()["line_dedup"](spark, sf).collect()
+    dropped = [r for r in rows if r.n_kept < r.n_lines]
+    assert dropped, "fixture has no cross-doc duplicate paragraphs"
+    assert all(r.n_kept <= r.n_lines for r in rows)
+
+    # independent reassembly check for one untouched and one touched doc
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet").set_index("doc_id")
+    by_id = {r.doc_id: r for r in rows}
+
+    def chunks(text):
+        w = (text or "").split(" ")
+        return [" ".join(w[i : i + 40]) for i in range(0, max(len(w), 1), 40)]
+
+    # paragraph -> #distinct docs
+    from collections import defaultdict
+
+    df_count = defaultdict(set)
+    for doc_id, t in docs.text.items():
+        for c in chunks(t):
+            df_count[c].add(doc_id)
+    for doc_id, t in list(docs.text.items())[:50]:
+        kept = [c for c in chunks(t) if len(df_count[c]) <= 1]
+        expect = hashlib.md5("\n".join(kept).encode()).hexdigest()
+        assert by_id[doc_id].kept_md5 == expect, doc_id
