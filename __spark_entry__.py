@@ -1491,13 +1491,15 @@ def _q_dsir_weights(spark, sf_dir):
             )
         ).alias("g"),
     )
-    digit = lambda i: F.expr(  # noqa: E731
-        f"locate(substring(md5(g), {i}, 1), '0123456789abcdef') - 1"
-    )
     feats = grams.select(
         "doc_id",
         "lang",
-        ((digit(1) * 256 + digit(2) * 16 + digit(3)) % 1024).alias("b"),
+        # first 3 md5 hex digits -> 0..4095 -> % 1024; single md5 call
+        # (the DuckDB twin derives the same integer digit-by-digit)
+        (
+            F.expr("cast(conv(substring(md5(g), 1, 3), 16, 10) as int)")
+            % 1024
+        ).alias("b"),
     )
     stats = feats.groupBy("b").agg(
         F.count("*").alias("c_raw"),
@@ -1535,6 +1537,57 @@ def _q_dsir_weights(spark, sf_dir):
             ).alias("keep"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """X48: crawl snapshot diff — classify every url across two crawl
+    snapshots as new / gone / changed / same (the recrawl-economics
+    primitive: what to refetch, what to tombstone, what to dedup
+    against the previous snapshot).  Snapshots are synthesized
+    deterministically from `documents`: snapshot A omits doc_id%10==9,
+    snapshot B omits doc_id%10==0 and rewrites content for
+    doc_id%7==3; content identity is md5 so the comparison never ships
+    the body.
+
+    Scale shape: ONE url-keyed full outer join (sort-merge, bucketable
+    by url; on Iceberg the two sides are time-travel reads of the same
+    table so they share partitioning and the join co-locates); status
+    is a null/hash case expression; per-status totals are a partial
+    agg.  Nothing collects, no pair expansion, bodies reduced to
+    hashes at the scan."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://"), "source",
+                 F.lit(".example.com/docs/"), "doc_id").alias("url"),
+        "doc_id",
+        "text",
+    )
+    snap_a = d.filter(F.col("doc_id") % 10 != 9).select(
+        "url", F.md5(F.encode("text", "UTF-8")).alias("h_a")
+    )
+    snap_b = d.filter(F.col("doc_id") % 10 != 0).select(
+        "url",
+        F.md5(
+            F.encode(
+                F.when(
+                    F.col("doc_id") % 7 == 3,
+                    F.concat(F.col("text"), F.lit(" [recrawled]")),
+                ).otherwise(F.col("text")),
+                "UTF-8",
+            )
+        ).alias("h_b"),
+    )
+    return (
+        snap_a.join(snap_b, "url", "full_outer")
+        .select(
+            "url",
+            F.when(F.col("h_a").isNull(), "new")
+            .when(F.col("h_b").isNull(), "gone")
+            .when(F.col("h_a") != F.col("h_b"), "changed")
+            .otherwise("same")
+            .alias("status"),
+        )
+        .orderBy("url")
     )
 
 
@@ -2323,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "classifier_scores": _q_classifier_scores,
         "line_dedup": _q_line_dedup,
+        "snapshot_diff": _q_snapshot_diff,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -3477,6 +3531,31 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN weighted w ON d.doc_id = w.doc_id
             CROSS JOIN tot
             ORDER BY d.doc_id
+        """,
+        "snapshot_diff": """
+            WITH d AS (
+                SELECT 'https://' || source || '.example.com/docs/'
+                       || doc_id AS url,
+                       doc_id, text
+                FROM documents
+            ), snap_a AS (
+                SELECT url, md5(text) AS h_a FROM d
+                WHERE doc_id % 10 <> 9
+            ), snap_b AS (
+                SELECT url,
+                       md5(CASE WHEN doc_id % 7 = 3
+                                THEN text || ' [recrawled]'
+                                ELSE text END) AS h_b
+                FROM d WHERE doc_id % 10 <> 0
+            )
+            SELECT coalesce(snap_a.url, snap_b.url) AS url,
+                   CASE WHEN snap_a.url IS NULL THEN 'new'
+                        WHEN snap_b.url IS NULL THEN 'gone'
+                        WHEN h_a <> h_b THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM snap_a FULL OUTER JOIN snap_b
+                 ON snap_a.url = snap_b.url
+            ORDER BY url
         """,
         "line_dedup": """
             WITH ws AS (
