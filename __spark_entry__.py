@@ -2293,54 +2293,42 @@ def _q_vocab_stats(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: every key with an oracle_sql() entry comes FIRST.
-    # The driver's correctness harness evaluates only the first 50 entries,
-    # so oracled queries must all sit inside that window; queries verified
-    # by independent pytest evidence instead of a DuckDB oracle go last.
+    # Ordering contract: every key with an oracle_sql() entry comes FIRST,
+    # and the FIRST 50 are the priority window — the driver's correctness
+    # harness evaluates only the first 50 entries.  With 76 oracled
+    # queries, 26 must sit past the window, so the window is allocated
+    # deliberately: the extraction family, every dedup/curation/tokenizer
+    # operator, and one representative per relational/event family are
+    # inside; long-stable TPC-H-style variants and second representatives
+    # of already-windowed families are outside.  EVERY oracled query —
+    # windowed or not — is verified by the identical compare in
+    # tests/test_entry_contract.py (test_query_matches_oracle runs all of
+    # them); the window only decides which rows appear in the driver's
+    # CORRECTNESS artifact.  The window membership is pinned by
+    # tests/test_entry_contract.py::test_driver_window_allocation.
     return {
+        # -- driver window (first 50): extraction + curation flagship set
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
-        "top_orders": _q_top_orders,
-        "shipping_priority": _q_shipping_priority,
-        "promo_revenue": _q_promo_revenue,
-        "priority_returned_orders": _q_priority_returned_orders,
-        "top_orders_per_segment": _q_top_orders_per_segment,
-        "latest_event_per_user": _q_latest_event_per_user,
-        "events_daily": _q_events_daily,
-        "events_running_total": _q_events_running_total,
         "events_sessionized": _q_events_sessionized,
-        "events_pivot": _q_events_pivot,
-        "purchase_last_click": _q_purchase_last_click,
-        "signup_clicks_1h": _q_signup_clicks_1h,
-        "docs_char_quantiles": _q_docs_char_quantiles,
+        "events_sessionized_stream": _q_events_sessionized_stream,
+        "events_dedup_stream": _q_events_dedup_stream,
         "docs_by_lang": _q_docs_by_lang,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
         "embedding_knn": _q_embedding_knn,
-        "events_rollup": _q_events_rollup,
-        "custkey_intersect": _q_custkey_intersect,
-        "custkey_except": _q_custkey_except,
-        "custs_with_recent_orders": _q_custs_with_recent_orders,
-        "custs_no_big_orders": _q_custs_no_big_orders,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "host_stats": _q_host_stats,
+        "embedding_quantize": _q_embedding_quantize,
         "doc_fingerprints": _q_doc_fingerprints,
-        "fingerprint_overlap": _q_fingerprint_overlap,
-        "jaccard_pairs_host": _q_jaccard_pairs_host,
         "lang_pred": _q_lang_pred,
         "dup_components_host": _q_dup_components_host,
-        "dedup_canonical_docs": _q_dedup_canonical_docs,
-        "daily_active_users": _q_daily_active_users,
         "dup_spans": _q_dup_spans,
         "filter_funnel": _q_filter_funnel,
-        "embedding_quantize": _q_embedding_quantize,
-        "events_sessionized_stream": _q_events_sessionized_stream,
-        "supplier_share": _q_supplier_share,
-        "order_quartiles": _q_order_quartiles,
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
         "contamination_check": _q_contamination_check,
+        "supplier_share": _q_supplier_share,
+        "order_quartiles": _q_order_quartiles,
         "train_test_split": _q_train_test_split,
         "pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
@@ -2348,12 +2336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_documents": _q_assemble_documents,
         "extract_pdf_documents": _q_extract_pdf_documents,
         "pdf_page_explode": _q_pdf_page_explode,
-        # --- oracled but outside the 50-entry driver window; green
-        # under the identical mini-driver compare in
-        # tests/test_entry_contract.py ---
         "dedup_apply_spans": _q_dedup_apply_spans,
         "stratified_sample": _q_stratified_sample,
-        "lang_simhash": _q_lang_simhash,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "near_dup_verified": _q_near_dup_verified,
@@ -2361,12 +2345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": _q_host_link_graph,
         "bm25_search": _q_bm25_search,
         "vocab_stats": _q_vocab_stats,
-        "events_dedup_stream": _q_events_dedup_stream,
         "incremental_dedup": _q_incremental_dedup,
         "compression_signal": _q_compression_signal,
         "lm_score": _q_lm_score,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "bpe_merges": _q_bpe_merges,
         "bpe_encode_stats": _q_bpe_encode_stats,
         "term_postings": _q_term_postings,
         "blocklist_tags": _q_blocklist_tags,
@@ -2377,6 +2358,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": _q_classifier_scores,
         "line_dedup": _q_line_dedup,
         "snapshot_diff": _q_snapshot_diff,
+        # -- oracled, outside the 50-entry driver window: long-stable
+        # relational/event variants and second family representatives;
+        # green under the identical compare in tests/test_entry_contract.py
+        "top_orders": _q_top_orders,
+        "shipping_priority": _q_shipping_priority,
+        "promo_revenue": _q_promo_revenue,
+        "priority_returned_orders": _q_priority_returned_orders,
+        "top_orders_per_segment": _q_top_orders_per_segment,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "events_daily": _q_events_daily,
+        "events_running_total": _q_events_running_total,
+        "events_pivot": _q_events_pivot,
+        "purchase_last_click": _q_purchase_last_click,
+        "signup_clicks_1h": _q_signup_clicks_1h,
+        "docs_char_quantiles": _q_docs_char_quantiles,
+        "events_rollup": _q_events_rollup,
+        "custkey_intersect": _q_custkey_intersect,
+        "custkey_except": _q_custkey_except,
+        "custs_with_recent_orders": _q_custs_with_recent_orders,
+        "custs_no_big_orders": _q_custs_no_big_orders,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "host_stats": _q_host_stats,
+        "fingerprint_overlap": _q_fingerprint_overlap,
+        "jaccard_pairs_host": _q_jaccard_pairs_host,
+        "dedup_canonical_docs": _q_dedup_canonical_docs,
+        "daily_active_users": _q_daily_active_users,
+        "lang_simhash": _q_lang_simhash,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,

@@ -253,3 +253,37 @@ def test_entry_smoke(spark):
     assert "markdown:string" in schema and "spans:array" in schema
     sample = df.filter("n_chars > 0").first()
     assert sample.markdown.startswith("<!-- Page 1 | Type: ")
+
+
+def test_driver_window_allocation():
+    """The driver's correctness harness evaluates only the FIRST 50
+    queries() entries.  Pin the deliberate allocation: all oracled
+    queries precede all non-oracled ones, and the extraction +
+    dedup/curation/tokenizer flagship set sits inside the window (a
+    new query appended carelessly must not silently evict one)."""
+    names = list(entry_mod.queries())
+    oracled = set(entry_mod.oracle_sql())
+    first_unoracled = next(
+        i for i, n in enumerate(names) if n not in oracled
+    )
+    assert all(n not in oracled for n in names[first_unoracled:]), (
+        "oracled query ordered after a non-oracled one"
+    )
+    window = set(names[:50])
+    must_have = {
+        "extract_documents", "assemble_documents",
+        "extract_pdf_documents", "pdf_page_explode",
+        "dedup_exact", "minhash_dup_pairs", "simhash_dup_pairs",
+        "near_dup_verified", "dup_components_host", "dup_spans",
+        "dedup_apply_spans", "incremental_dedup", "line_dedup",
+        "semdedup", "snapshot_diff", "warc_records",
+        "dsir_weights", "classifier_scores", "lm_score",
+        "compression_signal", "bpe_encode_stats", "bm25_search",
+        "contamination_check", "pii_scrub", "filter_funnel",
+        "mixing_weights", "blocklist_tags", "train_test_split",
+        "pack_sequences", "doc_chunks", "stratified_sample",
+        "media_features", "host_link_graph",
+        "events_sessionized_stream", "events_dedup_stream",
+    }
+    missing = must_have - window
+    assert not missing, f"flagships evicted from driver window: {missing}"
