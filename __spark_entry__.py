@@ -2224,12 +2224,137 @@ def _q_bm25_search(spark, sf_dir):
     )
 
 
-def _bm25_oracle_sql() -> str:
-    """DuckDB twin of _q_bm25_search, generated from the same term
-    list and constants so the two can't drift.  All literals are CAST
-    to DOUBLE (bare decimals are DECIMAL-typed in DuckDB, which would
-    change the arithmetic path) and the expression tree mirrors the
-    Spark column expression operation-for-operation."""
+def _bm25_scored_df(spark, sf_dir):
+    """(doc_id, score) BM25 frame shared by _q_bm25_search's shape and
+    _q_hybrid_search — identical expression tree, no top-k applied."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    doc = ws.select(
+        "doc_id",
+        F.size("ws").cast("double").alias("dl"),
+        *[
+            F.expr(f"size(filter(ws, x -> x = '{t}'))")
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    k1, b = _BM25_K1, _BM25_B
+    per_term = [
+        (
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        * (
+            (F.col(f"tf_{i}") * F.lit(k1 + 1.0))
+            / (
+                F.col(f"tf_{i}")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+        for i in range(len(_BM25_TERMS))
+    ]
+    score = per_term[0]
+    for term_score in per_term[1:]:
+        score = score + term_score
+    return doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id", score.alias("score")
+    )
+
+
+def _q_hybrid_search(spark, sf_dir):
+    """X49: hybrid retrieval via reciprocal-rank fusion (RRF, k=60 —
+    the standard lexical+dense ensemble): fuse the BM25 top-20 (same
+    expression tree as bm25_search) with the exact-cosine top-20
+    against the query embedding (vec_id 0, same scoring as
+    embedding_knn); rrf = 1/(60+r_lex) + 1/(60+r_dense), absent list
+    contributes 0.  Both ranks come from engine-identical orderings
+    (bit-exact BM25 floats; 4dp-rounded cosine; doc_id tie-breaks), and
+    the fusion is a two-term fixed-order IEEE sum — hash-exact oracle.
+
+    Scale shape: each arm ends in TakeOrdered(k); rank assignment
+    (row_number without partitioning) runs over the ALREADY-REDUCED
+    k-row frame, never the corpus; the fusion join is k-vs-k.  The
+    corpus-side costs are exactly bm25_search's one-row broadcast
+    stats pass and a brute-force scan (swap the IVF/LSH arm in at
+    scale)."""
+    scored = _bm25_scored_df(spark, sf_dir).filter(F.col("doc_id") != 0)
+    b_top = scored.orderBy(F.desc("score"), "doc_id").limit(20)
+    b_rank = b_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("r_lex"),
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with(dbl("embedding"), dbl("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(dbl(c), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    c_top = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot / (norm("embedding") * norm("qv")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(20)
+    )
+    c_rank = c_top.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), "vec_id"))
+        .alias("r_dense"),
+    )
+    zero = F.lit(0.0)
+    fused = b_rank.join(
+        c_rank, b_rank.doc_id == c_rank.vec_id, "full_outer"
+    ).select(
+        F.coalesce(b_rank.doc_id, c_rank.vec_id).alias("doc_id"),
+        "r_lex",
+        "r_dense",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("r_lex").cast("double")),
+                zero,
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("r_dense").cast("double")),
+                zero,
+            )
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id")
+
+
+def _bm25_sql_parts() -> tuple[str, str, str]:
+    """Shared tf/df/score SQL fragments for the BM25 oracles (plain
+    and hybrid), generated from the same term list and constants as
+    the Spark expression so the twins can't drift."""
     k1, b = _BM25_K1, _BM25_B
     tf_cols = ",\n                   ".join(
         f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
@@ -2246,6 +2371,15 @@ def _bm25_oracle_sql() -> str:
         f" * (CAST({1.0 - b} AS DOUBLE) + CAST({b} AS DOUBLE) * (dl / avgdl)))))"
         for i in range(len(_BM25_TERMS))
     )
+    return tf_cols, df_cols, term_exprs
+
+
+def _bm25_oracle_sql() -> str:
+    """DuckDB twin of _q_bm25_search.  All literals are CAST to DOUBLE
+    (bare decimals are DECIMAL-typed in DuckDB, which would change the
+    arithmetic path) and the expression tree mirrors the Spark column
+    expression operation-for-operation."""
+    tf_cols, df_cols, term_exprs = _bm25_sql_parts()
     return f"""
         WITH ws AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -2264,6 +2398,72 @@ def _bm25_oracle_sql() -> str:
         FROM doc, stats
         ORDER BY score DESC, doc_id
         LIMIT 15
+    """
+
+
+def _hybrid_oracle_sql() -> str:
+    """DuckDB twin of _q_hybrid_search: BM25 arm from the shared SQL
+    parts, cosine arm from the embedding_knn oracle shape (4dp round),
+    RRF as the same two-term fixed-order DOUBLE sum."""
+    tf_cols, df_cols, term_exprs = _bm25_sql_parts()
+    return f"""
+        WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), doc AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS DOUBLE) AS dl,
+                   {tf_cols}
+            FROM ws
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   sum(dl) / count(*) AS avgdl,
+                   {df_cols}
+            FROM doc
+        ), b_top AS (
+            SELECT doc_id, {term_exprs} AS score
+            FROM doc, stats
+            WHERE doc_id <> 0
+            ORDER BY score DESC, doc_id
+            LIMIT 20
+        ), b_rank AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS INTEGER) AS r_lex
+            FROM b_top
+        ), q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ), c_top AS (
+            SELECT e.vec_id,
+                   round(
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        q.qv) /
+                       (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv))),
+                       4
+                   ) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id != 0
+            ORDER BY cos_sim DESC, e.vec_id
+            LIMIT 20
+        ), c_rank AS (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                        AS INTEGER) AS r_dense
+            FROM c_top
+        )
+        SELECT coalesce(b_rank.doc_id, c_rank.vec_id) AS doc_id,
+               r_lex, r_dense,
+               coalesce(CAST(1 AS DOUBLE)
+                        / (CAST(60 AS DOUBLE) + CAST(r_lex AS DOUBLE)),
+                        CAST(0 AS DOUBLE))
+             + coalesce(CAST(1 AS DOUBLE)
+                        / (CAST(60 AS DOUBLE) + CAST(r_dense AS DOUBLE)),
+                        CAST(0 AS DOUBLE)) AS rrf
+        FROM b_rank FULL OUTER JOIN c_rank
+             ON b_rank.doc_id = c_rank.vec_id
+        ORDER BY rrf DESC, doc_id
     """
 
 
@@ -2361,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- oracled, outside the 50-entry driver window: long-stable
         # relational/event variants and second family representatives;
         # green under the identical compare in tests/test_entry_contract.py
+        "hybrid_search": _q_hybrid_search,
         "top_orders": _q_top_orders,
         "shipping_priority": _q_shipping_priority,
         "promo_revenue": _q_promo_revenue,
@@ -3330,6 +3531,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY src_host, dst_host
         """,
         "bm25_search": _bm25_oracle_sql(),
+        "hybrid_search": _hybrid_oracle_sql(),
         "lm_score": """
             WITH ws AS (
                 SELECT doc_id, string_split(text, ' ') AS ws FROM documents

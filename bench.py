@@ -195,7 +195,7 @@ def main() -> None:
             "bpe_encode_stats", "term_postings", "blocklist_tags",
             "mixing_weights", "semdedup", "warc_records",
             "dsir_weights", "classifier_scores", "line_dedup",
-            "snapshot_diff",
+            "snapshot_diff", "hybrid_search",
         ]
         qs = entry_mod.queries()
         _probe_idle("query_suite_pre", idle_fracs)
