@@ -1086,6 +1086,73 @@ def _q_order_quartiles(spark, sf_dir):
     )
 
 
+def _q_events_windowed_stream(spark, sf_dir):
+    """X17's windowed-aggregation surface, driver-checked against a SQL
+    oracle: runs the REAL Structured Streaming engine — watermarked
+    (30 min) tumbling-window (1 h) counts + integer-exact value sums
+    over the events table via availableNow, append mode — so what the
+    oracle validates is the engine's own finalize-and-evict path, not a
+    batch re-phrasing.  Deterministic: the file source yields one data
+    micro-batch (no rows are ever late) plus the no-data flush batch,
+    so the emitted set is EXACTLY the windows whose end precedes the
+    final watermark (max ts - 30 min; eviction is window_end <=
+    watermark — equality is unreachable on the microsecond-random
+    fixture).  The value sum is pre-quantized to integer cents so no
+    float aggregation order can differ across engines.
+
+    Scale shape: streaming partial-aggregated window groupBy with
+    bounded state (closed windows evicted); the sink is returned
+    LAZILY like _q_events_sessionized_stream."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="win_stream_q_")
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+    try:
+        src = f"{sf_dir}/events.parquet"
+        if not os.path.isdir(src):
+            os.makedirs(f"{base}/src")
+            shutil.copy(src, f"{base}/src/events.parquet")
+            src = f"{base}/src"
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(
+                    F.round(F.col("value") * 100, 0).cast("long")
+                ).alias("value_cents"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "value_cents",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return spark.read.parquet(sink).orderBy("window_start", "event_type")
+
+
 def _q_events_sessionized_stream(spark, sf_dir):
     """The custom stateful STREAMING operator (X18), driver-checked
     against a SQL oracle: runs the real Structured Streaming engine —
@@ -2509,10 +2576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- driver window (first 50): extraction + curation flagship set
         "pricing_summary": _q_pricing_summary,
-        "revenue_by_nation": _q_revenue_by_nation,
         "events_sessionized": _q_events_sessionized,
         "events_sessionized_stream": _q_events_sessionized_stream,
         "events_dedup_stream": _q_events_dedup_stream,
+        "events_windowed_stream": _q_events_windowed_stream,
         "docs_by_lang": _q_docs_by_lang,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -2562,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational/event variants and second family representatives;
         # green under the identical compare in tests/test_entry_contract.py
         "hybrid_search": _q_hybrid_search,
+        "revenue_by_nation": _q_revenue_by_nation,
         "top_orders": _q_top_orders,
         "shipping_priority": _q_shipping_priority,
         "promo_revenue": _q_promo_revenue,
@@ -3566,6 +3634,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS ratio
             FROM read_parquet('{_WITNESS_DIR}/compression_signal.parquet')
             ORDER BY doc_id
+        """,
+        "events_windowed_stream": """
+            WITH wm AS (
+                SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+            ), agg AS (
+                SELECT make_timestamp(
+                           CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                           * 3600 * 1000000) AS window_start,
+                       event_type,
+                       count(*) AS n_events,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS value_cents
+                FROM events
+                GROUP BY 1, 2
+            )
+            SELECT window_start,
+                   window_start + INTERVAL 1 HOUR AS window_end,
+                   event_type, n_events, value_cents
+            FROM agg, wm
+            WHERE window_start + INTERVAL 1 HOUR <= wm.w
+            ORDER BY window_start, event_type
         """,
         "events_dedup_stream": """
             SELECT event_id, ts, user_id, event_type, value

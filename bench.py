@@ -195,7 +195,7 @@ def main() -> None:
             "bpe_encode_stats", "term_postings", "blocklist_tags",
             "mixing_weights", "semdedup", "warc_records",
             "dsir_weights", "classifier_scores", "line_dedup",
-            "snapshot_diff", "hybrid_search",
+            "snapshot_diff", "hybrid_search", "events_windowed_stream",
         ]
         qs = entry_mod.queries()
         _probe_idle("query_suite_pre", idle_fracs)
