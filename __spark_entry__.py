@@ -634,6 +634,48 @@ def _q_host_link_graph(spark, sf_dir):
     return host_link_graph(pages).orderBy("src_host", "dst_host")
 
 
+def _q_anchor_texts(spark, sf_dir):
+    """X50: anchor-text aggregation per target url — the classic
+    web-corpus enrichment (anchor text is an external description of
+    the TARGET page, used for retrieval signals and quality/relevance
+    labels).  DOM-semantic anchors (comments/script invisible) with
+    whitespace-normalized text, canonicalized targets; per target:
+    total references, distinct referring hosts, and the dominant
+    anchor text under the total order (count DESC, text ASC).
+
+    Scale shape: one narrow mapInPandas over the (url, html) scan ->
+    partial-aggregated (dst_url, anchor) group-by (the shuffled payload
+    is two short strings + a count, never html) -> the top-text window
+    runs over the ALREADY-AGGREGATED frame partitioned by dst_url ->
+    one more partial-agg for per-target totals.  Oracle: golden witness
+    from the single-process kernel loop (scripts/gen_witness.py)."""
+    from ocr_pipeline_spark.fixtures.gen_pages import generate_pages_df
+    from ocr_pipeline_spark.operators.links_op import anchor_texts_df
+
+    n = min(
+        max(500, int(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * 200_000)),
+        4000,
+    )
+    pages = generate_pages_df(spark, n, seed=42, cross_links=True)
+    a = anchor_texts_df(pages)
+    pa = a.groupBy("dst_url", "anchor").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("dst_url").orderBy(F.desc("n"), "anchor")
+    top = (
+        pa.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "dst_url",
+            F.col("anchor").alias("top_anchor"),
+            F.col("n").alias("top_anchor_n"),
+        )
+    )
+    tot = a.groupBy("dst_url").agg(
+        F.count("*").alias("n_refs"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+    )
+    return tot.join(top, "dst_url").orderBy("dst_url")
+
+
 def _q_host_pagerank(spark, sf_dir):
     """X32: damped PageRank (10 power steps) over the X31 host graph —
     iterative DataFrame joins, edge frame shuffled once, ranks frame
@@ -2629,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational/event variants and second family representatives;
         # green under the identical compare in tests/test_entry_contract.py
         "hybrid_search": _q_hybrid_search,
+        "anchor_texts": _q_anchor_texts,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_orders": _q_top_orders,
         "shipping_priority": _q_shipping_priority,
@@ -3597,6 +3640,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, n_links
             FROM read_parquet('{_WITNESS_DIR}/host_link_graph.parquet')
             ORDER BY src_host, dst_host
+        """,
+        "anchor_texts": f"""
+            SELECT dst_url, n_refs, n_src_hosts, top_anchor, top_anchor_n
+            FROM read_parquet('{_WITNESS_DIR}/anchor_texts.parquet')
+            ORDER BY dst_url
         """,
         "bm25_search": _bm25_oracle_sql(),
         "hybrid_search": _hybrid_oracle_sql(),

@@ -136,6 +136,42 @@ def extract_outlinks(
     return out
 
 
+def extract_anchors(
+    html: bytes | str, base_url: str, max_links: int = 256
+) -> list[tuple[str, str]]:
+    """(canonical target url, whitespace-normalized anchor text) pairs
+    in first-occurrence document order, deduplicated by target (the
+    FIRST anchor's text wins — document order is the tie-break),
+    capped at max_links.  The anchor text of a duplicated target is a
+    presentation detail; corpus-level anchor aggregation re-weights by
+    counting pages, not repeats within one page.
+
+    Total: any decode/parse failure yields [] — same degrade contract
+    as extract_outlinks."""
+    try:
+        if isinstance(html, (bytes, bytearray)):
+            html = decode_html(bytes(html))
+        root = parse_html(html, hrefs=True)
+    except Exception:
+        return []
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    stack: list[Node] = [root]
+    while stack and len(out) < max_links:
+        node = stack.pop()
+        if node.tag == "a":
+            href = node.attrs.get("href")
+            if href:
+                link = _resolve(href.strip(), base_url)
+                if link is not None and link not in seen:
+                    seen.add(link)
+                    out.append((link, " ".join(node.text(" ").split())))
+        for child in reversed(node.children):
+            if isinstance(child, Node):
+                stack.append(child)
+    return out
+
+
 def _resolve(href: str, base_url: str) -> str | None:
     if not href or href.startswith("#"):
         return None  # same-page fragment, not an outlink

@@ -14,9 +14,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ocr_pipeline_spark.kernel.links import extract_outlinks, host_of
+from ocr_pipeline_spark.kernel.links import (
+    extract_anchors,
+    extract_outlinks,
+    host_of,
+)
 
 OUTLINKS_DDL = "url string, src_host string, outlink string, dst_host string"
+ANCHORS_DDL = "url string, src_host string, dst_url string, anchor string"
 
 
 def outlinks_kernel(max_links: int = 256):
@@ -52,6 +57,40 @@ def extract_outlinks_df(pages: DataFrame, max_links: int = 256) -> DataFrame:
     """
     return pages.select("url", "html").mapInPandas(
         outlinks_kernel(max_links), schema=OUTLINKS_DDL
+    )
+
+
+def anchors_kernel(max_links: int = 256):
+    """Iterator-of-batches kernel for (target url, anchor text) pairs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, srcs, dsts, txts = [], [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                src = host_of(url)
+                for link, text in extract_anchors(bytes(html), url, max_links):
+                    urls.append(url)
+                    srcs.append(src)
+                    dsts.append(link)
+                    txts.append(text)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype=object),
+                    "src_host": pd.Series(srcs, dtype=object),
+                    "dst_url": pd.Series(dsts, dtype=object),
+                    "anchor": pd.Series(txts, dtype=object),
+                }
+            )
+
+    return kernel
+
+
+def anchor_texts_df(pages: DataFrame, max_links: int = 256) -> DataFrame:
+    """(url, src_host, dst_url, anchor) — one row per canonical link
+    with its whitespace-normalized anchor text.  Narrow map over the
+    (url, html) scan, like extract_outlinks_df."""
+    return pages.select("url", "html").mapInPandas(
+        anchors_kernel(max_links), schema=ANCHORS_DDL
     )
 
 

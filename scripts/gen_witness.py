@@ -371,6 +371,47 @@ def witness_host_link_graph() -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["src_host", "dst_host", "n_links"])
 
 
+def witness_anchor_texts() -> pd.DataFrame:
+    """X50 witness: single-process anchor loop over the cross-linked
+    corpus at the sf0.01 query size (n=2000, same formula as
+    _q_anchor_texts), with the identical aggregation done in pure
+    Python (total refs, distinct src hosts, dominant text under
+    (count DESC, text ASC))."""
+    from collections import Counter, defaultdict
+
+    from ocr_pipeline_spark.kernel.links import extract_anchors, host_of
+
+    text_counts: dict[str, Counter] = defaultdict(Counter)
+    hosts: dict[str, set] = defaultdict(set)
+    refs: Counter = Counter()
+    for row in generate_rows(N_ASSEMBLE_PAGES, seed=SEED, cross_links=True):
+        src = host_of(row["url"])
+        for link, text in extract_anchors(row["html"], row["url"]):
+            refs[link] += 1
+            hosts[link].add(src)
+            text_counts[link][text] += 1
+    rows = []
+    for dst in sorted(refs):
+        top_text, top_n = min(
+            text_counts[dst].items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        rows.append(
+            {
+                "dst_url": dst,
+                "n_refs": int(refs[dst]),
+                "n_src_hosts": len(hosts[dst]),
+                "top_anchor": top_text,
+                "top_anchor_n": int(top_n),
+            }
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "dst_url", "n_refs", "n_src_hosts", "top_anchor", "top_anchor_n"
+        ],
+    )
+
+
 def _bpe_train_single_process() -> list[tuple[str, str]]:
     """Single-process twin of operators/bpe.train_bpe at the query's
     parameters (n_merges=64, vocab_cap=20000): pure-Python Counter word
@@ -521,6 +562,7 @@ WITNESSES = {
     "near_dup_verified": witness_near_dup_verified,
     "media_features": witness_media_features,
     "host_link_graph": witness_host_link_graph,
+    "anchor_texts": witness_anchor_texts,
     "semdedup": witness_semdedup,
     "warc_records": witness_warc_records,
     "bpe_merges": witness_bpe_merges,
