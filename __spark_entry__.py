@@ -634,6 +634,80 @@ def _q_host_link_graph(spark, sf_dir):
     return host_link_graph(pages).orderBy("src_host", "dst_host")
 
 
+def _q_robots_filter(spark, sf_dir):
+    """X51: robots-style URL policy filter with longest-prefix-match
+    semantics (Google REP: the longest matching rule prefix wins; on a
+    length tie, allow beats disallow) — the standard crawl/corpus URL
+    hygiene pass.  Per-host rules are synthesized deterministically
+    from the host id so the DuckDB twin can rebuild the identical rule
+    table: every host allows "/", hosts with n%3==0 disallow "/docs/",
+    and hosts with n%6==0 re-allow the longer "/docs/1" prefix — so all
+    three precedence behaviors (default, block, longest-match
+    override) are exercised.
+
+    Scale shape: the rule table is O(hosts x rules) and BROADCAST; the
+    corpus joins it once on host, prefix-match is a JVM startswith, and
+    the winning rule is a row_number window partitioned by url over the
+    few matched rules per url — no shuffle of the corpus beyond the
+    host-keyed broadcast probe, exactly how a 10^12-url frontier is
+    policy-filtered."""
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(F.lit("https://"), "source",
+                 F.lit(".example.com/docs/"), "doc_id").alias("url"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("/docs/"), "doc_id").alias("path"),
+    )
+    hosts = urls.select("host").distinct().withColumn(
+        "hn", F.regexp_extract("host", r"src(\d+)", 1).cast("int")
+    )
+    rules = (
+        hosts.select(
+            "host",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("/").alias("prefix"), F.lit(True).alias("allow")
+                    ),
+                    F.when(
+                        F.col("hn") % 3 == 0,
+                        F.struct(
+                            F.lit("/docs/").alias("prefix"),
+                            F.lit(False).alias("allow"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("hn") % 6 == 0,
+                        F.struct(
+                            F.lit("/docs/1").alias("prefix"),
+                            F.lit(True).alias("allow"),
+                        ),
+                    ),
+                )
+            ).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+        .select("host", "r.prefix", "r.allow")
+    )
+    matched = urls.join(F.broadcast(rules), "host").filter(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.length("prefix").desc(), F.col("allow").desc()
+    )
+    return (
+        matched.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "url",
+            "host",
+            F.col("prefix").alias("rule_prefix"),
+            F.col("allow").alias("allowed"),
+        )
+        .orderBy("url")
+    )
+
+
 def _q_anchor_texts(spark, sf_dir):
     """X50: anchor-text aggregation per target url — the classic
     web-corpus enrichment (anchor text is an external description of
@@ -2672,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green under the identical compare in tests/test_entry_contract.py
         "hybrid_search": _q_hybrid_search,
         "anchor_texts": _q_anchor_texts,
+        "robots_filter": _q_robots_filter,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_orders": _q_top_orders,
         "shipping_priority": _q_shipping_priority,
@@ -3645,6 +3720,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT dst_url, n_refs, n_src_hosts, top_anchor, top_anchor_n
             FROM read_parquet('{_WITNESS_DIR}/anchor_texts.parquet')
             ORDER BY dst_url
+        """,
+        "robots_filter": """
+            WITH urls AS (
+                SELECT 'https://' || source || '.example.com/docs/'
+                       || doc_id AS url,
+                       source || '.example.com' AS host,
+                       '/docs/' || doc_id AS path
+                FROM documents
+            ), hosts AS (
+                SELECT DISTINCT host,
+                       CAST(regexp_extract(host, 'src(\\d+)', 1) AS INTEGER)
+                           AS hn
+                FROM urls
+            ), rules AS (
+                SELECT host, '/' AS prefix, TRUE AS allow FROM hosts
+                UNION ALL
+                SELECT host, '/docs/', FALSE FROM hosts WHERE hn % 3 = 0
+                UNION ALL
+                SELECT host, '/docs/1', TRUE FROM hosts WHERE hn % 6 = 0
+            ), matched AS (
+                SELECT urls.url, urls.host, rules.prefix, rules.allow,
+                       row_number() OVER (
+                           PARTITION BY urls.url
+                           ORDER BY length(rules.prefix) DESC,
+                                    rules.allow DESC
+                       ) AS rk
+                FROM urls JOIN rules ON urls.host = rules.host
+                WHERE substr(urls.path, 1, length(rules.prefix))
+                      = rules.prefix
+            )
+            SELECT url, host, prefix AS rule_prefix, allow AS allowed
+            FROM matched WHERE rk = 1
+            ORDER BY url
         """,
         "bm25_search": _bm25_oracle_sql(),
         "hybrid_search": _hybrid_oracle_sql(),
