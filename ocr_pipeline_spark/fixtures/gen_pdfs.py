@@ -26,17 +26,64 @@ def _escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def build_layout_content(
+    title: str, col_a: list[str], col_b: list[str]
+) -> str:
+    """Two-column page content stream whose STREAM ORDER INTERLEAVES
+    the columns (b0 a0 b1 a1 ... after the title) — the adversarial
+    input for XY-cut reading order: stream-order extraction scrambles
+    the columns, layout-aware extraction must yield
+    title, col_a..., col_b...  Column x origins (72 / 320) leave a
+    gutter wider than the cut threshold; the title sits above a
+    >10pt band."""
+    ops = ["BT /F1 14 Tf 72 740 Td", f"({_escape(title)}) Tj"]
+    rows = max(len(col_a), len(col_b))
+    for j in range(rows):
+        y = 700 - 14 * j
+        if j < len(col_b):
+            ops.append(f"1 0 0 1 320 {y} Tm")
+            ops.append(f"({_escape(col_b[j])}) Tj")
+        if j < len(col_a):
+            ops.append(f"1 0 0 1 72 {y} Tm")
+            ops.append(f"({_escape(col_a[j])}) Tj")
+    ops.append("ET")
+    return " ".join(ops)
+
+
+def build_pdf_raw_streams(
+    streams: list[str], compress: bool = True
+) -> bytes:
+    """Like build_pdf but each page's content stream is given verbatim
+    (for layout fixtures that position text themselves)."""
+    return _build(streams, compress)
+
+
 def build_pdf(page_texts: list[str], compress: bool = True) -> bytes:
+    """Minimal valid multi-page PDF with one content stream per page."""
+    streams = []
+    for text in page_texts:
+        lines = text.split("\n")
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            if j:
+                ops.append("0 -14 Td")
+            ops.append(f"({_escape(line)}) Tj")
+        ops.append("ET")
+        streams.append(" ".join(ops))
+    return _build(streams, compress)
+
+
+def _build(page_streams: list[str], compress: bool = True) -> bytes:
     """Minimal valid multi-page PDF with one content stream per page."""
     objects: list[bytes] = []  # bodies; object number = index + 1
 
-    n = len(page_texts)
+    n = len(page_streams)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
     objects.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()  # 2
     )
-    for i, text in enumerate(page_texts):
+    for i, ops_text in enumerate(page_streams):
         page_obj = 3 + 2 * i
         content_obj = page_obj + 1
         objects.append(
@@ -45,14 +92,7 @@ def build_pdf(page_texts: list[str], compress: bool = True) -> bytes:
                 f"/Contents {content_obj} 0 R >>"
             ).encode()
         )
-        lines = text.split("\n")
-        ops = ["BT /F1 12 Tf 72 720 Td"]
-        for j, line in enumerate(lines):
-            if j:
-                ops.append("0 -14 Td")
-            ops.append(f"({_escape(line)}) Tj")
-        ops.append("ET")
-        stream = " ".join(ops).encode()
+        stream = ops_text.encode()
         if compress:
             payload = zlib.compress(stream)
             head = f"<< /Length {len(payload)} /Filter /FlateDecode >>"

@@ -191,7 +191,7 @@ def split_pdf_pages_text(data: bytes | None) -> list[dict]:
         doc.close()
         return out
     return [
-        {"page_num": p["page_num"], "text": page_text(p["content"])}
+        {"page_num": p["page_num"], "text": page_text_xy(p["content"])}
         for p in _split_structural(data)
     ]
 
@@ -247,6 +247,94 @@ def page_text(content: bytes | None) -> str:
     pieces.sort()
     return "\n".join(
         p.decode("utf-8", "replace") for _, p in pieces if p
+    )
+
+
+_NUM = rb"[-+]?(?:\d+\.?\d*|\.\d+)"
+_LAYOUT_RE = re.compile(
+    rb"(?P<tdx>" + _NUM + rb")\s+(?P<tdy>" + _NUM + rb")\s+(?P<tdop>Td|TD)\b"
+    rb"|(?:" + _NUM + rb"\s+){4}(?P<tme>" + _NUM + rb")\s+(?P<tmf>"
+    + _NUM + rb")\s+Tm\b"
+    rb"|/\w+\s+(?P<fs>" + _NUM + rb")\s+Tf\b"
+    rb"|\((?P<tj>(?:[^()\\]|\\.)*)\)\s*(?P<showop>Tj|')"
+    rb"|\[(?P<tjarr>(?:[^\[\]\\]|\\.)*)\]\s*TJ"
+    rb"|(?P<bt>BT)\b"
+    rb"|(?P<tstar>T\*)",
+    re.S,
+)
+
+
+def page_text_blocks(
+    content: bytes | None,
+) -> list[tuple[float, float, float, float, bytes]]:
+    """Positioned text blocks (x0, y0, x1, y1, text) of a content
+    stream: tracks the text-line origin through Td/TD/Tm/T*, the font
+    size through Tf, and emits one block per show op (Tj / ' / TJ).
+    Glyph widths are approximated at 0.5 em (no font metrics without
+    codecs) — ample for XY-cut, whose cuts are whitespace BANDS, not
+    exact extents.  Total: malformed operands are skipped."""
+    if not content:
+        return []
+    blocks: list[tuple[float, float, float, float, bytes]] = []
+    fs, leading = 12.0, 14.4
+    line_x = line_y = cx = 0.0
+    for m in _LAYOUT_RE.finditer(content):
+        try:
+            if m.group("tdop"):
+                dx, dy = float(m.group("tdx")), float(m.group("tdy"))
+                if m.group("tdop") == b"TD":
+                    leading = -dy if dy else leading
+                line_x += dx
+                line_y += dy
+                cx = line_x
+            elif m.group("tme") is not None:
+                line_x = cx = float(m.group("tme"))
+                line_y = float(m.group("tmf"))
+            elif m.group("fs") is not None:
+                fs = float(m.group("fs")) or fs
+                leading = fs * 1.2
+            elif m.group("bt") is not None:
+                line_x = line_y = cx = 0.0
+            elif m.group("tstar") is not None:
+                line_y -= leading
+                cx = line_x
+            else:
+                if m.group("showop") == b"'":
+                    line_y -= leading
+                    cx = line_x
+                if m.group("tj") is not None:
+                    text = _unescape(m.group("tj"))
+                else:
+                    text = b"".join(
+                        _unescape(s.group(1))
+                        for s in _STR_RE.finditer(m.group("tjarr"))
+                    )
+                w = 0.5 * fs * len(text)
+                blocks.append((cx, line_y, cx + w, line_y + fs, text))
+                cx += w
+        except (ValueError, OverflowError):  # malformed operand
+            continue
+    return blocks
+
+
+def page_text_xy(content: bytes | None) -> str:
+    """page_text with XY-cut reading order (kernel/layout.py): text
+    blocks are re-linearized by recursive whitespace-band cuts, so a
+    two-column page reads title -> left column -> right column even
+    when the content stream interleaves the columns.  Falls back to
+    stream order (page_text) when the stream carries no positioning
+    diversity — on linear single-column streams the XY-cut order IS
+    stream order, so this is a strict generalization."""
+    from ocr_pipeline_spark.kernel.layout import xy_cut
+
+    blocks = page_text_blocks(content)
+    if len({(b[0], b[1]) for b in blocks}) <= 1:
+        return page_text(content)
+    order = xy_cut([b[:4] for b in blocks])
+    return "\n".join(
+        blocks[i][4].decode("utf-8", "replace")
+        for i in order
+        if blocks[i][4]
     )
 
 

@@ -1,0 +1,100 @@
+"""XY-cut reading order (kernel/layout.py + pdf.page_text_xy).
+
+The north rule names the layout-parse path explicitly (block
+segmentation, XY-cut reading-order); these tests pin the algorithm on
+the canonical adversarial case — a title spanning two columns whose
+content stream interleaves the columns — plus determinism, the
+linear-stream identity (old fixtures must be byte-unchanged), and
+totality on garbage.
+"""
+
+import pytest
+
+from ocr_pipeline_spark.fixtures.gen_pdfs import (
+    build_layout_content,
+    build_pdf,
+    build_pdf_raw_streams,
+)
+from ocr_pipeline_spark.kernel.layout import xy_cut
+from ocr_pipeline_spark.sources.pdf import (
+    _split_structural,
+    page_text,
+    page_text_blocks,
+    page_text_xy,
+    split_pdf_pages_text,
+)
+
+
+def test_xy_cut_title_then_columns():
+    # title spans the page; two columns below, separated by a gutter
+    boxes = [
+        (72, 740, 400, 754),   # 0 title
+        (320, 700, 420, 712),  # 1 b0
+        (72, 700, 170, 712),   # 2 a0
+        (320, 686, 420, 698),  # 3 b1
+        (72, 686, 170, 698),   # 4 a1
+    ]
+    assert xy_cut(boxes) == [0, 2, 4, 1, 3]
+
+
+def test_xy_cut_tight_leading_never_splits_paragraph():
+    # 2pt inter-line gaps (12pt type, 14pt leading) stay one group,
+    # ordered top-to-bottom
+    boxes = [(72, 720 - 14 * i, 200, 732 - 14 * i) for i in range(5)]
+    assert xy_cut(boxes) == [0, 1, 2, 3, 4]
+    assert xy_cut(list(reversed(boxes))) == [4, 3, 2, 1, 0]
+
+
+def test_xy_cut_deterministic_on_identical_boxes():
+    boxes = [(0, 0, 10, 10)] * 4
+    assert xy_cut(boxes) == [0, 1, 2, 3]
+
+
+def test_two_column_pdf_reads_title_then_columns():
+    title = "Quarterly Report"
+    col_a = ["alpha one", "alpha two", "alpha three"]
+    col_b = ["beta one", "beta two"]
+    pdf = build_pdf_raw_streams([build_layout_content(title, col_a, col_b)])
+    page = _split_structural(pdf)[0]
+    # stream order interleaves the columns — the adversarial premise
+    assert page_text(page["content"]).split("\n")[1] == "beta one"
+    assert page_text_xy(page["content"]) == "\n".join(
+        [title] + col_a + col_b
+    )
+    # the text-pipeline splitter uses the layout-aware path
+    assert split_pdf_pages_text(pdf)[0]["text"] == "\n".join(
+        [title] + col_a + col_b
+    )
+
+
+def test_linear_stream_identity_with_stream_order():
+    """Single-column fixtures: XY-cut order == stream order, byte-equal
+    (goldens and witnesses built on build_pdf stay valid)."""
+    pdf = build_pdf(["Hello world\nSecond line\nThird", "Page two\nMore"])
+    for p in _split_structural(pdf):
+        assert page_text_xy(p["content"]) == page_text(p["content"])
+
+
+@pytest.mark.parametrize(
+    "junk",
+    [
+        b"",
+        b"\xff\x00garbage",
+        b"(unclosed Tj",
+        b"1e309 1e309 Td (x) Tj",  # operand overflow -> skipped
+        b"BT /F1 0 Tf (z) Tj ET",  # zero font size -> kept at default
+    ],
+)
+def test_positioned_extractor_total_on_garbage(junk):
+    page_text_blocks(junk)  # must not raise
+    page_text_xy(junk)  # must not raise
+
+
+def test_huge_coordinates_bounded():
+    # crafted coordinates must not hang or blow memory
+    ops = " ".join(
+        f"1 0 0 1 {x} {y} Tm (w) Tj"
+        for x, y in [(1e6, -1e6), (-1e6, 1e6), (0, 0), (1e6, 1e6)]
+    )
+    out = page_text_xy(f"BT {ops} ET".encode())
+    assert out.count("w") == 4
