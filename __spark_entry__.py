@@ -866,7 +866,7 @@ def _q_pdf_page_explode(spark, sf_dir):
     rows -> per-page text extraction.  Input: the deterministic PDF
     corpus (pure function of seed+doc_id); sf scales n_docs."""
     from ocr_pipeline_spark.fixtures.gen_pdfs import generate_pdfs_df
-    from ocr_pipeline_spark.sources.pdf import explode_pdf_pages, page_text
+    from ocr_pipeline_spark.sources.pdf import explode_pdf_pages, page_text_xy
 
     n = min(max(100, int(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * 40_000)), 2000)
     docs = generate_pdfs_df(spark, n, seed=42)
@@ -876,7 +876,7 @@ def _q_pdf_page_explode(spark, sf_dir):
         for pdf in batches:
             out = pdf[["url", "page_num"]].copy()
             out["n_bytes"] = [len(c or b"") for c in pdf["content"]]
-            out["text"] = [page_text(c) for c in pdf["content"]]
+            out["text"] = [page_text_xy(c) for c in pdf["content"]]
             yield out
 
     return pages.mapInPandas(

@@ -39,7 +39,7 @@ from ocr_pipeline_spark.kernel.page import (  # noqa: E402
     page_num_from_url,
 )
 from ocr_pipeline_spark.sources.pdf import (  # noqa: E402
-    page_text,
+    page_text_xy,
     split_pdf_pages,
     split_pdf_pages_text,
 )
@@ -168,7 +168,7 @@ def witness_pdf_page_explode() -> pd.DataFrame:
                     "url": url,
                     "page_num": page["page_num"],
                     "n_bytes": len(content),
-                    "text": page_text(content),
+                    "text": page_text_xy(content),
                 }
             )
     return (
