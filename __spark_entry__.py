@@ -1202,6 +1202,62 @@ def _q_order_quartiles(spark, sf_dir):
     )
 
 
+def _run_events_stream(
+    spark, sf_dir, prefix, build, n_deliveries=1, max_files_per_trigger=None
+):
+    """Shared scaffold for the driver-oracled streaming queries: stage
+    the events table as a file-stream source (n_deliveries copies of
+    each part file), run build(stream) through a parquet sink with
+    availableNow, and return the sink LAZILY — the temp dir outlives
+    the call (process-exit cleanup) so the result never rides the
+    driver, which at 100x scale it could not."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    sink, ckpt, src = f"{base}/sink", f"{base}/ckpt", f"{base}/src"
+    try:
+        os.makedirs(src)
+        events = f"{sf_dir}/events.parquet"
+        if os.path.isdir(events):
+            parts = [
+                os.path.join(events, f)
+                for f in sorted(os.listdir(events))
+                if f.endswith(".parquet")
+            ]
+        else:
+            parts = [events]
+        for d in range(n_deliveries):
+            for i, part in enumerate(parts):
+                shutil.copy(part, f"{src}/delivery{d}_{i}.parquet")
+        reader = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        q = (
+            build(reader.parquet(src))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return spark.read.parquet(sink)
+
+
+
 def _q_events_windowed_stream(spark, sf_dir):
     """X17's windowed-aggregation surface, driver-checked against a SQL
     oracle: runs the REAL Structured Streaming engine — watermarked
@@ -1219,24 +1275,8 @@ def _q_events_windowed_stream(spark, sf_dir):
     Scale shape: streaming partial-aggregated window groupBy with
     bounded state (closed windows evicted); the sink is returned
     LAZILY like _q_events_sessionized_stream."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="win_stream_q_")
-    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
-    try:
-        src = f"{sf_dir}/events.parquet"
-        if not os.path.isdir(src):
-            os.makedirs(f"{base}/src")
-            shutil.copy(src, f"{base}/src/events.parquet")
-            src = f"{base}/src"
-        stream = spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double, props string"
-        ).parquet(src)
-        agg = (
+    def build(stream):
+        return (
             stream.withWatermark("ts", "30 minutes")
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(
@@ -1253,20 +1293,10 @@ def _q_events_windowed_stream(spark, sf_dir):
                 "value_cents",
             )
         )
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    except BaseException:
-        shutil.rmtree(base, ignore_errors=True)
-        raise
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    return spark.read.parquet(sink).orderBy("window_start", "event_type")
+
+    return _run_events_stream(
+        spark, sf_dir, "win_stream_q_", build
+    ).orderBy("window_start", "event_type")
 
 
 def _q_events_sessionized_stream(spark, sf_dir):
@@ -1280,48 +1310,15 @@ def _q_events_sessionized_stream(spark, sf_dir):
     the oracle replicates with window sessionization + a closability
     filter.  Verified byte-stable across runs and file layouts
     (tests/test_streaming.py)."""
-    import shutil
-    import tempfile
-
     from ocr_pipeline_spark.streaming.stateful import sessionize_stream
 
-    import os
-
-    import atexit
-
-    base = tempfile.mkdtemp(prefix="sess_stream_q_")
-    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
-    try:
-        src = f"{sf_dir}/events.parquet"
-        if not os.path.isdir(src):
-            # the file stream source needs a DIRECTORY base
-            os.makedirs(f"{base}/src")
-            shutil.copy(src, f"{base}/src/events.parquet")
-            src = f"{base}/src"
-        stream = spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double, props string"
-        ).parquet(src)
-        q = (
-            sessionize_stream(stream, gap_seconds=1800, event_time_timeout=True)
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+    def build(stream):
+        return sessionize_stream(
+            stream, gap_seconds=1800, event_time_timeout=True
         )
-        q.awaitTermination()
-    except BaseException:
-        shutil.rmtree(base, ignore_errors=True)
-        raise
-    # Return the session table LAZILY: at 100x scale it does not fit the
-    # driver, so no toPandas() round-trip — the temp sink outlives this
-    # call (process-exit cleanup) and the caller's action streams straight
-    # from the parquet files.
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+
     return (
-        spark.read.parquet(sink)
+        _run_events_stream(spark, sf_dir, "sess_stream_q_", build)
         .select(
             F.col("user_id").cast("bigint"),
             "session_start",
@@ -1941,55 +1938,20 @@ def _q_events_dedup_stream(spark, sf_dir):
     input rows and the oracle is a plain SELECT.  Exercises real
     cross-micro-batch dedup state on the real engine, with state
     bounded by the watermark horizon rather than the corpus."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from ocr_pipeline_spark.streaming.stream_job import streaming_dedup
 
-    base = tempfile.mkdtemp(prefix="dedup_stream_q_")
-    sink, ckpt, src = f"{base}/sink", f"{base}/ckpt", f"{base}/src"
-    try:
-        os.makedirs(src)
-        events = f"{sf_dir}/events.parquet"
-        if os.path.isdir(events):
-            parts = [
-                os.path.join(events, f)
-                for f in sorted(os.listdir(events))
-                if f.endswith(".parquet")
-            ]
-        else:
-            parts = [events]
-        for i, p in enumerate(parts):
-            shutil.copy(p, f"{src}/delivery0_{i}.parquet")
-            shutil.copy(p, f"{src}/delivery1_{i}.parquet")
-        stream = (
-            spark.readStream.schema(
-                "event_id bigint, ts timestamp, user_id bigint, "
-                "event_type string, value double, props string"
-            )
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        q = (
-            streaming_dedup(stream, ["event_id"], event_time="ts")
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    except BaseException:
-        shutil.rmtree(base, ignore_errors=True)
-        raise
-    # lazy return, deferred cleanup: same contract as the sessionized
-    # stream query — no driver materialization of the result
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    def build(stream):
+        return streaming_dedup(stream, ["event_id"], event_time="ts")
+
     return (
-        spark.read.parquet(sink)
+        _run_events_stream(
+            spark,
+            sf_dir,
+            "dedup_stream_q_",
+            build,
+            n_deliveries=2,
+            max_files_per_trigger=1,
+        )
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")
     )
@@ -2356,60 +2318,20 @@ def _q_bm25_search(spark, sf_dir):
     higher-order filters over the split column (terms are few and
     constant — no explode, no posting-list shuffle); top-k is
     orderBy+limit = TakeOrdered, no global sort materialization."""
-    d = _t(spark, sf_dir, "documents")
-    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
-    doc = ws.select(
-        "doc_id",
-        F.size("ws").cast("double").alias("dl"),
-        *[
-            F.expr(f"size(filter(ws, x -> x = '{t}'))")
-            .cast("double")
-            .alias(f"tf_{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    )
-    stats = doc.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (F.sum("dl") / F.count("*")).alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
-            for i in range(len(_BM25_TERMS))
-        ],
-    )
-    k1, b = _BM25_K1, _BM25_B
-    # fixed-order float expression shared (shape-for-shape) with the
-    # DuckDB oracle: NO float aggregation whose accumulation order
-    # could differ across engines — the cross-term sum is a literal
-    # left-to-right chain over a constant number of terms
-    per_term = [
-        (
-            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
-            / (F.col(f"df_{i}") + F.lit(0.5))
-        )
-        * (
-            (F.col(f"tf_{i}") * F.lit(k1 + 1.0))
-            / (
-                F.col(f"tf_{i}")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
-            )
-        )
-        for i in range(len(_BM25_TERMS))
-    ]
-    score = per_term[0]
-    for term_score in per_term[1:]:
-        score = score + term_score
     return (
-        doc.crossJoin(F.broadcast(stats))
-        .select("doc_id", score.alias("score"))
+        _bm25_scored_df(spark, sf_dir)
         .orderBy(F.desc("score"), "doc_id")
         .limit(15)
     )
 
 
 def _bm25_scored_df(spark, sf_dir):
-    """(doc_id, score) BM25 frame shared by _q_bm25_search's shape and
-    _q_hybrid_search — identical expression tree, no top-k applied."""
+    """(doc_id, score) BM25 frame shared by _q_bm25_search and
+    _q_hybrid_search's lexical arm — ONE expression tree so the two
+    cannot drift (the SQL side shares _bm25_sql_parts the same way).
+    The cross-term sum is a literal left-to-right chain over a constant
+    number of terms: NO float aggregation whose accumulation order
+    could differ across engines."""
     d = _t(spark, sf_dir, "documents")
     ws = d.select("doc_id", F.split("text", " ").alias("ws"))
     doc = ws.select(
@@ -2678,8 +2600,8 @@ def _q_vocab_stats(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: every key with an oracle_sql() entry comes FIRST,
     # and the FIRST 50 are the priority window — the driver's correctness
-    # harness evaluates only the first 50 entries.  With 76 oracled
-    # queries, 26 must sit past the window, so the window is allocated
+    # harness evaluates only the first 50 entries.  There are more
+    # oracled queries than window slots, so the window is allocated
     # deliberately: the extraction family, every dedup/curation/tokenizer
     # operator, and one representative per relational/event family are
     # inside; long-stable TPC-H-style variants and second representatives
@@ -3792,8 +3714,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "events_windowed_stream": """
+            -- Spark tracks event-time max (and thus the watermark) at
+            -- MILLISECOND precision; truncate the microsecond max(ts)
+            -- the same way or a max ts whose sub-ms component straddles
+            -- an eviction boundary would diverge the emitted set.
             WITH wm AS (
-                SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+                SELECT date_trunc('milliseconds', max(ts))
+                       - INTERVAL 30 MINUTE AS w
+                FROM events
             ), agg AS (
                 SELECT make_timestamp(
                            CAST(floor(epoch(ts) / 3600) AS BIGINT)

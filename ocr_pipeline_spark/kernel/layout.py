@@ -35,11 +35,17 @@ def xy_cut(
     uncuttable groups order by (top DESC, left ASC, index ASC).
     """
     out: list[int] = []
-
-    def rec(ids: list[int]) -> None:
+    # explicit LIFO worklist, not recursion: a crafted staircase layout
+    # where every cut peels one box off nests O(n) deep and would blow
+    # Python's recursion limit around ~1500 boxes — hostile content
+    # streams must degrade, never raise (same totality contract as the
+    # warc/image parsers)
+    work: list[list[int]] = [list(range(len(boxes)))]
+    while work:
+        ids = work.pop()
         if len(ids) <= 1:
             out.extend(ids)
-            return
+            continue
         # horizontal band: merge y-projections scanning top -> bottom
         by_top = sorted(ids, key=lambda i: -boxes[i][3])
         groups: list[list[int]] = [[by_top[0]]]
@@ -52,27 +58,21 @@ def xy_cut(
             else:
                 groups[-1].append(i)
                 lo = min(lo, y0)
+        if len(groups) == 1:
+            # vertical band: merge x-projections scanning left -> right
+            by_left = sorted(ids, key=lambda i: boxes[i][0])
+            groups = [[by_left[0]]]
+            hi = boxes[by_left[0]][2]
+            for i in by_left[1:]:
+                x0, x1 = boxes[i][0], boxes[i][2]
+                if x0 > hi + min_gap_x:
+                    groups.append([i])
+                    hi = x1
+                else:
+                    groups[-1].append(i)
+                    hi = max(hi, x1)
         if len(groups) > 1:
-            for g in groups:
-                rec(g)
-            return
-        # vertical band: merge x-projections scanning left -> right
-        by_left = sorted(ids, key=lambda i: boxes[i][0])
-        groups = [[by_left[0]]]
-        hi = boxes[by_left[0]][2]
-        for i in by_left[1:]:
-            x0, x1 = boxes[i][0], boxes[i][2]
-            if x0 > hi + min_gap_x:
-                groups.append([i])
-                hi = x1
-            else:
-                groups[-1].append(i)
-                hi = max(hi, x1)
-        if len(groups) > 1:
-            for g in groups:
-                rec(g)
-            return
+            work.extend(reversed(groups))  # pop() order == reading order
+            continue
         out.extend(sorted(ids, key=lambda i: (-boxes[i][3], boxes[i][0], i)))
-
-    rec(list(range(len(boxes))))
     return out

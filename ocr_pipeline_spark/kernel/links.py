@@ -105,35 +105,12 @@ def extract_outlinks(
     Total: any decode/parse failure yields [] — a page that cannot be
     parsed has no extractable links, matching extract_page's degrade
     contract (kernel/page.py).
+
+    One traversal contract: this delegates to extract_anchors so the
+    outlink graph and the anchor aggregation can never disagree about
+    which links a page has.
     """
-    try:
-        if isinstance(html, (bytes, bytearray)):
-            html = decode_html(bytes(html))
-        root = parse_html(html, hrefs=True)
-    except Exception:
-        return []
-    out: list[str] = []
-    seen: set[str] = set()
-    # iterative DFS in document order (stack of reversed children):
-    # O(nodes) and recursion-free, so crafted deep nesting costs linear
-    # time and cannot overflow — no depth cap needed (the parser's own
-    # guards bound the tree itself)
-    stack: list[Node] = [root]
-    while stack and len(out) < max_links:
-        node = stack.pop()
-        if node.tag == "a":
-            href = node.attrs.get("href")
-            if href:
-                # attr values are entity-unescaped at parse time by
-                # _parse_attrs; stray whitespace is spec-stripped here
-                link = _resolve(href.strip(), base_url)
-                if link is not None and link not in seen:
-                    seen.add(link)
-                    out.append(link)
-        for child in reversed(node.children):
-            if isinstance(child, Node):
-                stack.append(child)
-    return out
+    return [u for u, _ in extract_anchors(html, base_url, max_links)]
 
 
 def extract_anchors(
@@ -147,7 +124,9 @@ def extract_anchors(
     counting pages, not repeats within one page.
 
     Total: any decode/parse failure yields [] — same degrade contract
-    as extract_outlinks."""
+    as extract_outlinks (which delegates here: ONE walker owns the
+    reversed-children stack order, first-occurrence dedup, and the
+    max_links cap)."""
     try:
         if isinstance(html, (bytes, bytearray)):
             html = decode_html(bytes(html))
@@ -156,6 +135,10 @@ def extract_anchors(
         return []
     out: list[tuple[str, str]] = []
     seen: set[str] = set()
+    # iterative DFS in document order (stack of reversed children):
+    # O(nodes) and recursion-free, so crafted deep nesting costs linear
+    # time and cannot overflow — no depth cap needed (the parser's own
+    # guards bound the tree itself)
     stack: list[Node] = [root]
     while stack and len(out) < max_links:
         node = stack.pop()

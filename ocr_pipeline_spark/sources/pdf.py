@@ -322,14 +322,20 @@ def page_text_xy(content: bytes | None) -> str:
     blocks are re-linearized by recursive whitespace-band cuts, so a
     two-column page reads title -> left column -> right column even
     when the content stream interleaves the columns.  Falls back to
-    stream order (page_text) when the stream carries no positioning
-    diversity — on linear single-column streams the XY-cut order IS
-    stream order, so this is a strict generalization."""
+    stream order when the stream carries no positioning diversity —
+    on linear single-column streams the XY-cut order IS stream order,
+    so this is a strict generalization (equality with page_text pinned
+    over the whole fixture corpus in tests/test_layout.py)."""
     from ocr_pipeline_spark.kernel.layout import xy_cut
 
     blocks = page_text_blocks(content)
     if len({(b[0], b[1]) for b in blocks}) <= 1:
-        return page_text(content)
+        # stream order; blocks already carry every show op's text, so
+        # no second regex scan of the content bytes (hot path:
+        # pdf_page_explode's mapInPandas kernel)
+        return "\n".join(
+            b[4].decode("utf-8", "replace") for b in blocks if b[4]
+        )
     order = xy_cut([b[:4] for b in blocks])
     return "\n".join(
         blocks[i][4].decode("utf-8", "replace")

@@ -40,6 +40,9 @@ __all__ = [
 # per-record payload cap: a lying Content-Length (or a gzip bomb) stops
 # the parse instead of allocating unbounded executor memory
 MAX_RECORD_BYTES = 64 * 1024 * 1024
+# header-block allowance on top of the payload cap for gzip members
+# (the member plaintext carries the WARC header envelope too)
+MAX_HEADER_BYTES = 64 * 1024
 _CRLF = b"\r\n"
 
 
@@ -109,15 +112,24 @@ def http_response_payload(
 # reader
 # --------------------------------------------------------------------------
 def _gunzip_members(data: bytes) -> Iterator[bytes]:
-    """Iterate concatenated gzip members with bounded inflation."""
+    """Iterate concatenated gzip members with bounded inflation.
+
+    The member plaintext is the whole record ENVELOPE (WARC header
+    block + payload + trailing CRLFs), so the inflation bound is the
+    payload cap plus a header allowance — capping the envelope at
+    MAX_RECORD_BYTES alone would silently drop records whose payload
+    is legal but whose headers push the envelope past the cap, while
+    the plain path (which caps the parsed Content-Length) accepted
+    them."""
+    cap = MAX_RECORD_BYTES + MAX_HEADER_BYTES
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
         try:
-            chunk = d.decompress(data[pos:], MAX_RECORD_BYTES + 1)
+            chunk = d.decompress(data[pos:], cap + 1)
         except zlib.error:
             return
-        if len(chunk) > MAX_RECORD_BYTES or not d.eof:
+        if len(chunk) > cap or not d.eof:
             return  # bomb or truncated member: stop, keep prior records
         yield chunk
         consumed = len(data) - pos - len(d.unused_data)

@@ -98,3 +98,34 @@ def test_huge_coordinates_bounded():
     )
     out = page_text_xy(f"BT {ops} ET".encode())
     assert out.count("w") == 4
+
+
+def test_xy_cut_staircase_no_recursion_error():
+    """A staircase layout where every cut peels one box nests O(n)
+    deep; the worklist implementation must stay total (a recursive
+    version blows Python's frame limit near 1500 boxes)."""
+    boxes = []
+    x = y = 0.0
+    big = 100000.0
+    for _ in range(1500):
+        boxes.append((x, y - 5, x + big, y))
+        y -= 50
+        boxes.append((x, y - big, x + 5, y))
+        x += 50
+    order = xy_cut(boxes)
+    assert sorted(order) == list(range(len(boxes)))
+
+
+def test_fallback_equals_page_text_on_show_only_streams():
+    """The no-positioning fallback joins the already-extracted block
+    texts instead of re-scanning; it must equal page_text exactly on
+    streams both parsers can see (single position, TJ arrays, ')."""
+    cases = [
+        b"",
+        b"(one) Tj",
+        b"[(a) (b)] TJ",
+        b"(x) ' (y) Tj",
+        b"BT (only) Tj ET",
+    ]
+    for c in cases:
+        assert page_text_xy(c) == page_text(c), c

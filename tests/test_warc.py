@@ -132,3 +132,30 @@ def test_distributed_parse_partition_invariant(spark):
     )
     assert len(out1) == 4 * len(recs)
     assert out1.equals(out7)
+
+
+def test_near_cap_payload_parses_in_both_layouts():
+    """A payload just under MAX_RECORD_BYTES must survive BOTH the
+    plain and the per-record-gzip layout: the gzip member's plaintext
+    carries the WARC header envelope on top of the payload, so the
+    inflation bound must be payload cap + header allowance, not the
+    bare payload cap (regression: the envelope tripped the cap and the
+    record silently vanished in the exact layout Common Crawl uses)."""
+    from ocr_pipeline_spark.sources.warc import (
+        MAX_RECORD_BYTES,
+        build_warc,
+        parse_warc,
+    )
+
+    rec = {
+        "rec_type": "response",
+        "url": "https://cap.example.com/big",
+        "date": "2024-01-01T00:00:00Z",
+        "payload": b"x" * (MAX_RECORD_BYTES - 50),
+    }
+    assert len(parse_warc(build_warc([rec]))) == 1
+    assert len(parse_warc(build_warc([rec], per_record_gzip=True))) == 1
+    # and one byte OVER the payload cap is rejected in both layouts
+    big = dict(rec, payload=b"x" * (MAX_RECORD_BYTES + 1))
+    assert parse_warc(build_warc([big])) == []
+    assert parse_warc(build_warc([big], per_record_gzip=True)) == []
