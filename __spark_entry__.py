@@ -885,6 +885,54 @@ def _q_pdf_page_explode(spark, sf_dir):
     ).orderBy("url", "page_num")
 
 
+def _q_pdf_layout_markdown(spark, sf_dir):
+    """X52: heading/table reconstruction from POSITIONED layout — the
+    layout-payload half of the north rule's "table/heading
+    reconstruction": 18pt/14.5pt font sizes become #/## headings,
+    x-aligned cell runs become markdown tables, lines re-linearized by
+    XY-cut (kernel/layout.py).  Input: the deterministic layout-rich
+    report corpus (pure function of seed+doc_id, like the WARC query's
+    fixture side); the product path is the same kernel over a binary
+    PDF column.
+
+    Scale shape: ONE narrow mapInPandas (generate -> structural split
+    -> positioned parse -> reconstruct, fused per batch), no shuffle.
+    Oracle: golden witness from the single-process twin
+    (scripts/gen_witness.py) — equality proves the distributed
+    reconstruction is byte-identical per url."""
+    import pandas as pd  # noqa: F811
+
+    n = min(
+        max(100, int(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * 40_000)),
+        2000,
+    )
+
+    def kernel(batches):
+        from ocr_pipeline_spark.fixtures.gen_pdfs import report_pdf
+        from ocr_pipeline_spark.sources.pdf import (
+            _split_structural,
+            page_markdown_xy,
+        )
+
+        for pdf in batches:
+            urls, mds = [], []
+            for i in pdf["id"]:
+                url, payload = report_pdf(42, int(i))
+                page = _split_structural(payload)[0]
+                urls.append(url)
+                mds.append(page_markdown_xy(page["content"]))
+            yield pd.DataFrame({"url": urls, "markdown": mds})
+
+    out = spark.range(n).mapInPandas(
+        kernel, schema="url string, markdown string"
+    )
+    return out.select(
+        "url",
+        F.md5(F.encode("markdown", "UTF-8")).alias("markdown_md5"),
+        F.length("markdown").alias("n_chars"),
+    ).orderBy("url")
+
+
 def _q_near_dup_verified(spark, sf_dir):
     from ocr_pipeline_spark.operators.text_ops import verified_near_dups
 
@@ -2669,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": _q_hybrid_search,
         "anchor_texts": _q_anchor_texts,
         "robots_filter": _q_robots_filter,
+        "pdf_layout_markdown": _q_pdf_layout_markdown,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_orders": _q_top_orders,
         "shipping_priority": _q_shipping_priority,
@@ -3642,6 +3691,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT dst_url, n_refs, n_src_hosts, top_anchor, top_anchor_n
             FROM read_parquet('{_WITNESS_DIR}/anchor_texts.parquet')
             ORDER BY dst_url
+        """,
+        "pdf_layout_markdown": f"""
+            SELECT url, markdown_md5, n_chars
+            FROM read_parquet('{_WITNESS_DIR}/pdf_layout_markdown.parquet')
+            ORDER BY url
         """,
         "robots_filter": """
             WITH urls AS (

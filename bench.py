@@ -196,7 +196,7 @@ def main() -> None:
             "mixing_weights", "semdedup", "warc_records",
             "dsir_weights", "classifier_scores", "line_dedup",
             "snapshot_diff", "hybrid_search", "events_windowed_stream",
-            "anchor_texts", "robots_filter",
+            "anchor_texts", "robots_filter", "pdf_layout_markdown",
         ]
         qs = entry_mod.queries()
         _probe_idle("query_suite_pre", idle_fracs)

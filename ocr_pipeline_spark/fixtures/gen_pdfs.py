@@ -136,6 +136,56 @@ def doc_pdf(seed: int, doc_id: int) -> tuple[str, bytes, int]:
     return url, build_pdf(texts, compress=rng.random() < 0.7), n_pages
 
 
+def report_pdf(seed: int, doc_id: int) -> tuple[str, bytes]:
+    """(url, pdf_bytes) for one LAYOUT-RICH report page: an 18pt title,
+    a 14.5pt section heading, 12pt body paragraphs, and a positioned
+    table whose cell x-origins align across rows — the fixture for
+    heading/table reconstruction from positions (page_markdown_xy).
+    Deterministic in (seed, doc_id)."""
+    rng = random.Random((seed << 21) ^ (doc_id * 2654435761))
+    title = " ".join(rng.choice(_WORDS) for _ in range(3)).title()
+    heading = " ".join(rng.choice(_WORDS) for _ in range(2)).title()
+    paras = [
+        " ".join(rng.choice(_WORDS) for _ in range(rng.randint(5, 9)))
+        for _ in range(rng.randint(2, 4))
+    ]
+    n_rows = rng.randint(2, 4)
+    cols = [72, 250, 420]
+    table = [
+        [
+            f"{rng.choice(_WORDS)}-{rng.randint(0, 99)}"
+            for _ in cols
+        ]
+        for _ in range(n_rows + 1)  # header + rows
+    ]
+    ops = ["BT /F1 18 Tf 72 740 Td", f"({_escape(title)}) Tj"]
+    y = 700.0
+    for p in paras[: len(paras) // 2 + 1]:
+        ops.append(f"/F1 12 Tf 1 0 0 1 72 {y:g} Tm")
+        ops.append(f"({_escape(p)}) Tj")
+        y -= 14
+    y -= 16
+    ops.append(f"/F1 14.5 Tf 1 0 0 1 72 {y:g} Tm")
+    ops.append(f"({_escape(heading)}) Tj")
+    y -= 20
+    ops.append("/F1 12 Tf")
+    for row in table:
+        for x, cell in zip(cols, row):
+            ops.append(f"1 0 0 1 {x} {y:g} Tm")
+            ops.append(f"({_escape(cell)}) Tj")
+        y -= 16
+    y -= 8
+    for p in paras[len(paras) // 2 + 1 :]:
+        ops.append(f"1 0 0 1 72 {y:g} Tm")
+        ops.append(f"({_escape(p)}) Tj")
+        y -= 14
+    ops.append("ET")
+    url = f"https://report-host-{doc_id % 13}.example/report{doc_id}.pdf"
+    return url, build_pdf_raw_streams(
+        [" ".join(ops)], compress=rng.random() < 0.7
+    )
+
+
 def generate_pdfs_df(
     spark: SparkSession, n_docs: int, seed: int = 42
 ) -> DataFrame:

@@ -344,6 +344,103 @@ def page_text_xy(content: bytes | None) -> str:
     )
 
 
+def _layout_lines(
+    blocks: list[tuple[float, float, float, float, bytes]],
+    y_tol: float = 2.0,
+) -> list[dict]:
+    """Group positioned blocks into visual LINES (same baseline within
+    y_tol), each with its x-sorted cells and font size (block height).
+    Returned in no particular order — callers re-order with xy_cut."""
+    rows: list[dict] = []
+    for x0, y0, x1, y1, text in blocks:
+        if not text:
+            continue
+        for row in rows:
+            if abs(row["y0"] - y0) <= y_tol:
+                row["cells"].append((x0, text))
+                row["x0"] = min(row["x0"], x0)
+                row["x1"] = max(row["x1"], x1)
+                row["y1"] = max(row["y1"], y1)
+                break
+        else:
+            rows.append(
+                {"x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                 "cells": [(x0, text)]}
+            )
+    for row in rows:
+        row["cells"].sort()
+        row["fs"] = row["y1"] - row["y0"]
+    return rows
+
+
+def page_markdown_xy(content: bytes | None) -> str:
+    """Markdown reconstruction of a positioned content stream — the
+    layout-payload analog of the HTML kernel's heading/table
+    reconstruction (kernel/blocks.py):
+
+      * lines in XY-cut reading order (kernel/layout.py);
+      * HEADINGS by font size: >=1.5x the page's median size -> '#',
+        >=1.2x -> '##' (the reference's OCR model reads size from the
+        rendered page; codec-free, size comes from Tf tracking);
+      * TABLES by column alignment: a run of >=2 consecutive lines
+        whose >=2 cell x-origins coincide (±2pt) renders as a markdown
+        table with a header separator — the XY-cut guarantees the run
+        is contiguous in reading order;
+      * everything else joins its cells as a paragraph line.
+
+    Deterministic and total: garbage yields ''."""
+    from ocr_pipeline_spark.kernel.layout import xy_cut
+
+    lines = _layout_lines(page_text_blocks(content))
+    if not lines:
+        return ""
+    order = xy_cut([(r["x0"], r["y0"], r["x1"], r["y1"]) for r in lines])
+    ordered = [lines[i] for i in order]
+    sizes = sorted(r["fs"] for r in ordered)
+    body_fs = sizes[len(sizes) // 2]
+
+    def col_key(row: dict) -> tuple | None:
+        if len(row["cells"]) < 2:
+            return None
+        return tuple(round(x / 2.0) for x, _ in row["cells"])
+
+    def cell_text(cells) -> list[str]:
+        return [
+            t.decode("utf-8", "replace").replace("|", "\\|") for _, t in cells
+        ]
+
+    out: list[str] = []
+    i = 0
+    while i < len(ordered):
+        row = ordered[i]
+        key = col_key(row)
+        if key is not None:
+            j = i + 1
+            while j < len(ordered) and col_key(ordered[j]) == key:
+                j += 1
+            if j - i >= 2:  # aligned run -> markdown table
+                header = cell_text(ordered[i]["cells"])
+                out.append("| " + " | ".join(header) + " |")
+                out.append("|" + "---|" * len(header))
+                for r in ordered[i + 1 : j]:
+                    out.append(
+                        "| " + " | ".join(cell_text(r["cells"])) + " |"
+                    )
+                i = j
+                continue
+        text = " ".join(
+            t.decode("utf-8", "replace") for _, t in row["cells"]
+        )
+        if row["fs"] >= 1.5 * body_fs:
+            out.append("# " + text)
+        elif row["fs"] >= 1.2 * body_fs:
+            out.append("## " + text)
+        else:
+            out.append(text)
+        i += 1
+    return "\n".join(out)
+
+
 # --- Spark operators ---------------------------------------------------------
 def pdf_pages_kernel(bin_col: str = "payload", out_col: str = "pages"):
     """mapInPandas kernel factory: adds the page array column."""

@@ -371,6 +371,34 @@ def witness_host_link_graph() -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["src_host", "dst_host", "n_links"])
 
 
+def witness_pdf_layout_markdown() -> pd.DataFrame:
+    """X52 witness: single-process twin of _q_pdf_layout_markdown at
+    the sf0.01 query size (n=400 report pages) — generate, split,
+    positioned-parse, reconstruct, md5."""
+    import hashlib
+
+    from ocr_pipeline_spark.fixtures.gen_pdfs import report_pdf
+    from ocr_pipeline_spark.sources.pdf import (
+        _split_structural,
+        page_markdown_xy,
+    )
+
+    rows = []
+    for i in range(N_PDF_DOCS):
+        url, payload = report_pdf(SEED, i)
+        md = page_markdown_xy(_split_structural(payload)[0]["content"])
+        rows.append(
+            {
+                "url": url,
+                "markdown_md5": hashlib.md5(md.encode()).hexdigest(),
+                "n_chars": len(md),
+            }
+        )
+    return (
+        pd.DataFrame(rows).sort_values("url").reset_index(drop=True)
+    )
+
+
 def witness_anchor_texts() -> pd.DataFrame:
     """X50 witness: single-process anchor loop over the cross-linked
     corpus at the sf0.01 query size (n=2000, same formula as
@@ -563,6 +591,7 @@ WITNESSES = {
     "media_features": witness_media_features,
     "host_link_graph": witness_host_link_graph,
     "anchor_texts": witness_anchor_texts,
+    "pdf_layout_markdown": witness_pdf_layout_markdown,
     "semdedup": witness_semdedup,
     "warc_records": witness_warc_records,
     "bpe_merges": witness_bpe_merges,

@@ -129,3 +129,30 @@ def test_fallback_equals_page_text_on_show_only_streams():
     ]
     for c in cases:
         assert page_text_xy(c) == page_text(c), c
+
+
+def test_page_markdown_xy_reconstructs_headings_and_table():
+    from ocr_pipeline_spark.fixtures.gen_pdfs import report_pdf
+    from ocr_pipeline_spark.sources.pdf import page_markdown_xy
+
+    url, pdf = report_pdf(42, 0)
+    md = page_markdown_xy(_split_structural(pdf)[0]["content"])
+    lines = md.split("\n")
+    assert lines[0].startswith("# ")            # 18pt title
+    assert any(l.startswith("## ") for l in lines)   # 14.5pt heading
+    seps = [l for l in lines if l.startswith("|---")]
+    assert len(seps) == 1                        # exactly one table
+    table_rows = [l for l in lines if l.startswith("| ")]
+    assert len(table_rows) >= 3                  # header + >=2 rows
+    assert all(l.count("|") == 4 for l in table_rows)  # 3 columns
+    # body paragraphs present, unprefixed
+    assert any(
+        l and not l.startswith(("#", "|")) for l in lines
+    )
+
+
+def test_page_markdown_xy_total_on_garbage():
+    from ocr_pipeline_spark.sources.pdf import page_markdown_xy
+
+    for junk in (b"", b"\xff\x00", b"(x", b"BT 1e400 0 Td (a) Tj ET"):
+        page_markdown_xy(junk)  # must not raise
