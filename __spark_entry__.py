@@ -1267,19 +1267,26 @@ def _run_events_stream(
     base = tempfile.mkdtemp(prefix=prefix)
     sink, ckpt, src = f"{base}/sink", f"{base}/ckpt", f"{base}/src"
     try:
-        os.makedirs(src)
         events = f"{sf_dir}/events.parquet"
-        if os.path.isdir(events):
-            parts = [
-                os.path.join(events, f)
-                for f in sorted(os.listdir(events))
-                if f.endswith(".parquet")
-            ]
+        if os.path.isdir(events) and n_deliveries == 1:
+            # zero-copy: the table is already a directory the file
+            # source can read in place — duplicating it onto local disk
+            # is exactly the driver-footprint these queries' lazy-sink
+            # contract exists to avoid
+            src = events
         else:
-            parts = [events]
-        for d in range(n_deliveries):
-            for i, part in enumerate(parts):
-                shutil.copy(part, f"{src}/delivery{d}_{i}.parquet")
+            os.makedirs(src)
+            if os.path.isdir(events):
+                parts = [
+                    os.path.join(events, f)
+                    for f in sorted(os.listdir(events))
+                    if f.endswith(".parquet")
+                ]
+            else:
+                parts = [events]
+            for d in range(n_deliveries):
+                for i, part in enumerate(parts):
+                    shutil.copy(part, f"{src}/delivery{d}_{i}.parquet")
         reader = spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, "
             "event_type string, value double, props string"
@@ -2681,7 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "contamination_check": _q_contamination_check,
         "supplier_share": _q_supplier_share,
-        "order_quartiles": _q_order_quartiles,
+        "pdf_layout_markdown": _q_pdf_layout_markdown,
         "train_test_split": _q_train_test_split,
         "pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
@@ -2717,9 +2724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": _q_hybrid_search,
         "anchor_texts": _q_anchor_texts,
         "robots_filter": _q_robots_filter,
-        "pdf_layout_markdown": _q_pdf_layout_markdown,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_orders": _q_top_orders,
+        "order_quartiles": _q_order_quartiles,
         "shipping_priority": _q_shipping_priority,
         "promo_revenue": _q_promo_revenue,
         "priority_returned_orders": _q_priority_returned_orders,

@@ -19,6 +19,15 @@ from __future__ import annotations
 Box = tuple[float, float, float, float]  # x0, y0, x1, y1 (y up)
 
 
+# Above this box count the recursive cut degrades to the global
+# top-to-bottom/left-to-right sort: worst-case cutting is quadratic
+# (each cut re-sorts its subgroups — a crafted staircase stream inside
+# the 16 MB inflate cap could carry ~500k show ops and stall an
+# executor for hours), and no real page has 10k text blocks.  Same
+# degrade-not-hang policy as the decoder bomb guards.
+MAX_XY_BOXES = 10_000
+
+
 def xy_cut(
     boxes: list[Box],
     min_gap_x: float = 18.0,
@@ -34,6 +43,11 @@ def xy_cut(
     the canonical algorithm.  Total and deterministic: ties and
     uncuttable groups order by (top DESC, left ASC, index ASC).
     """
+    if len(boxes) > MAX_XY_BOXES:
+        return sorted(
+            range(len(boxes)),
+            key=lambda i: (-boxes[i][3], boxes[i][0], i),
+        )
     out: list[int] = []
     # explicit LIFO worklist, not recursion: a crafted staircase layout
     # where every cut peels one box off nests O(n) deep and would blow

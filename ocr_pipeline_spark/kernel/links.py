@@ -96,37 +96,18 @@ def host_of(url: str) -> str:
         return ""
 
 
-def extract_outlinks(
-    html: bytes | str, base_url: str, max_links: int = 256
-) -> list[str]:
-    """All canonical outgoing links of a page, in first-occurrence
-    document order, deduplicated, capped at max_links.
-
-    Total: any decode/parse failure yields [] — a page that cannot be
-    parsed has no extractable links, matching extract_page's degrade
-    contract (kernel/page.py).
-
-    One traversal contract: this delegates to extract_anchors so the
-    outlink graph and the anchor aggregation can never disagree about
-    which links a page has.
-    """
-    return [u for u, _ in extract_anchors(html, base_url, max_links)]
-
-
-def extract_anchors(
-    html: bytes | str, base_url: str, max_links: int = 256
+def _walk_anchors(
+    html: bytes | str,
+    base_url: str,
+    max_links: int,
+    with_text: bool,
 ) -> list[tuple[str, str]]:
-    """(canonical target url, whitespace-normalized anchor text) pairs
-    in first-occurrence document order, deduplicated by target (the
-    FIRST anchor's text wins — document order is the tie-break),
-    capped at max_links.  The anchor text of a duplicated target is a
-    presentation detail; corpus-level anchor aggregation re-weights by
-    counting pages, not repeats within one page.
-
-    Total: any decode/parse failure yields [] — same degrade contract
-    as extract_outlinks (which delegates here: ONE walker owns the
-    reversed-children stack order, first-occurrence dedup, and the
-    max_links cap)."""
+    """THE anchor walker: one implementation owns the reversed-children
+    stack order, first-occurrence dedup, the max_links cap, and the
+    degrade-to-[] contract, so the outlink graph and the anchor
+    aggregation can never disagree about which links a page has.
+    Anchor text (a full subtree traversal + normalization per anchor)
+    is built only when with_text — the outlink hot path skips it."""
     try:
         if isinstance(html, (bytes, bytearray)):
             html = decode_html(bytes(html))
@@ -145,14 +126,51 @@ def extract_anchors(
         if node.tag == "a":
             href = node.attrs.get("href")
             if href:
+                # attr values are entity-unescaped at parse time by
+                # _parse_attrs; stray whitespace is spec-stripped here
                 link = _resolve(href.strip(), base_url)
                 if link is not None and link not in seen:
                     seen.add(link)
-                    out.append((link, " ".join(node.text(" ").split())))
+                    text = (
+                        " ".join(node.text(" ").split())
+                        if with_text
+                        else ""
+                    )
+                    out.append((link, text))
         for child in reversed(node.children):
             if isinstance(child, Node):
                 stack.append(child)
     return out
+
+
+def extract_outlinks(
+    html: bytes | str, base_url: str, max_links: int = 256
+) -> list[str]:
+    """All canonical outgoing links of a page, in first-occurrence
+    document order, deduplicated, capped at max_links.
+
+    Total: any decode/parse failure yields [] — a page that cannot be
+    parsed has no extractable links, matching extract_page's degrade
+    contract (kernel/page.py).  Shares _walk_anchors with
+    extract_anchors but skips the per-anchor subtree text build."""
+    return [
+        u for u, _ in _walk_anchors(html, base_url, max_links, False)
+    ]
+
+
+def extract_anchors(
+    html: bytes | str, base_url: str, max_links: int = 256
+) -> list[tuple[str, str]]:
+    """(canonical target url, whitespace-normalized anchor text) pairs
+    in first-occurrence document order, deduplicated by target (the
+    FIRST anchor's text wins — document order is the tie-break),
+    capped at max_links.  The anchor text of a duplicated target is a
+    presentation detail; corpus-level anchor aggregation re-weights by
+    counting pages, not repeats within one page.
+
+    Total: any decode/parse failure yields [] — same degrade contract
+    as extract_outlinks (both are projections of _walk_anchors)."""
+    return _walk_anchors(html, base_url, max_links, True)
 
 
 def _resolve(href: str, base_url: str) -> str | None:

@@ -350,12 +350,32 @@ def _layout_lines(
 ) -> list[dict]:
     """Group positioned blocks into visual LINES (same baseline within
     y_tol), each with its x-sorted cells and font size (block height).
-    Returned in no particular order — callers re-order with xy_cut."""
+    Returned in no particular order — callers re-order with xy_cut.
+
+    O(n): rows are indexed by the quantized baseline floor(y0/y_tol);
+    a block within y_tol of a row's baseline always lands in the same
+    or an adjacent bucket, so only those three buckets are probed (in
+    row-insertion order, preserving the first-match semantics a full
+    linear scan would have)."""
+    import math
+
     rows: list[dict] = []
+    buckets: dict[int, list[int]] = {}
     for x0, y0, x1, y1, text in blocks:
         if not text:
             continue
-        for row in rows:
+        b = (
+            math.floor(y0 / y_tol)
+            if y_tol > 0 and math.isfinite(y0)
+            else 0
+        )
+        candidates = sorted(
+            i
+            for bb in (b - 1, b, b + 1)
+            for i in buckets.get(bb, ())
+        )
+        for i in candidates:
+            row = rows[i]
             if abs(row["y0"] - y0) <= y_tol:
                 row["cells"].append((x0, text))
                 row["x0"] = min(row["x0"], x0)
@@ -363,6 +383,7 @@ def _layout_lines(
                 row["y1"] = max(row["y1"], y1)
                 break
         else:
+            buckets.setdefault(b, []).append(len(rows))
             rows.append(
                 {"x0": x0, "y0": y0, "x1": x1, "y1": y1,
                  "cells": [(x0, text)]}
@@ -428,9 +449,9 @@ def page_markdown_xy(content: bytes | None) -> str:
                     )
                 i = j
                 continue
-        text = " ".join(
-            t.decode("utf-8", "replace") for _, t in row["cells"]
-        )
+        # same pipe escaping as table cells: a body line containing
+        # '|' must not render as a spurious one-row table downstream
+        text = " ".join(cell_text(row["cells"]))
         if row["fs"] >= 1.5 * body_fs:
             out.append("# " + text)
         elif row["fs"] >= 1.2 * body_fs:

@@ -284,7 +284,7 @@ def test_driver_window_allocation():
         "pack_sequences", "doc_chunks", "stratified_sample",
         "media_features", "host_link_graph",
         "events_sessionized_stream", "events_dedup_stream",
-        "events_windowed_stream",
+        "events_windowed_stream", "pdf_layout_markdown",
     }
     missing = must_have - window
     assert not missing, f"flagships evicted from driver window: {missing}"
