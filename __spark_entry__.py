@@ -731,7 +731,11 @@ def _q_anchor_texts(spark, sf_dir):
         4000,
     )
     pages = generate_pages_df(spark, n, seed=42, cross_links=True)
-    a = anchor_texts_df(pages)
+    # eager localCheckpoint: BOTH aggregation branches consume the
+    # anchor frame, and without the lineage cut Spark duplicates the
+    # whole generate+parse kernel subtree into each branch (the
+    # host_pagerank lesson) — checkpoint once, parse once
+    a = anchor_texts_df(pages).localCheckpoint()
     pa = a.groupBy("dst_url", "anchor").agg(F.count("*").alias("n"))
     w = Window.partitionBy("dst_url").orderBy(F.desc("n"), "anchor")
     top = (

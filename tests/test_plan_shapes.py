@@ -225,3 +225,40 @@ def test_dsir_bucket_stats_join_is_broadcast(spark):
     plan = _plan(entry_mod.queries()["dsir_weights"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_robots_rules_join_is_broadcast(spark):
+    """robots_filter's scale contract: the O(hosts x rules) rule table
+    attaches via BroadcastHashJoin — the url frontier never shuffles
+    for the policy probe."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["robots_filter"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_anchor_texts_single_kernel_no_cross(spark):
+    """anchor_texts: the generate+parse kernel must NOT be duplicated
+    into both aggregation branches — the eager localCheckpoint cuts
+    lineage so the final plan reads the materialized anchor frame
+    (zero MapInPandas nodes) instead of re-running the kernel per
+    branch; joins are keyed, never all-pairs."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["anchor_texts"](spark, SF_DIR))
+    assert "MapInPandas" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_pdf_layout_markdown_is_fused_map(spark):
+    """pdf_layout_markdown: generate/parse/reconstruct fused in ONE
+    mapInPandas, no joins, no hash shuffle (only the presentation
+    sort)."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["pdf_layout_markdown"](spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "hashpartitioning" not in plan, plan[:2000]
