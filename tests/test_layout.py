@@ -156,3 +156,55 @@ def test_page_markdown_xy_total_on_garbage():
 
     for junk in (b"", b"\xff\x00", b"(x", b"BT 1e400 0 Td (a) Tj ET"):
         page_markdown_xy(junk)  # must not raise
+
+
+# --- Hypothesis properties ----------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_box = st.tuples(
+    st.floats(-1e4, 1e4), st.floats(-1e4, 1e4),
+    st.floats(0, 500), st.floats(0, 40),
+).map(lambda t: (t[0], t[1], t[0] + t[2], t[1] + t[3]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_box, max_size=60))
+def test_xy_cut_is_permutation(boxes):
+    order = xy_cut(boxes)
+    assert sorted(order) == list(range(len(boxes)))
+
+
+_ibox = st.tuples(
+    st.integers(-10_000, 10_000), st.integers(-10_000, 10_000),
+    st.integers(0, 500), st.integers(0, 40),
+).map(lambda t: (t[0], t[1], t[0] + t[2], t[1] + t[3]))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(_ibox, max_size=40),
+    st.integers(-100_000, 100_000),
+    st.integers(-100_000, 100_000),
+)
+def test_xy_cut_translation_invariant(boxes, dx, dy):
+    """Reading order depends on relative geometry only: translating
+    the whole page must not change it.  Integer coordinates so the
+    translation is IEEE-exact — with arbitrary floats a gap comparison
+    sitting exactly on the threshold can flip by an ulp, which is a
+    property of float addition, not of the algorithm."""
+    moved = [(x0 + dx, y0 + dy, x1 + dx, y1 + dy) for x0, y0, x1, y1 in boxes]
+    assert xy_cut(moved) == xy_cut(boxes)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_positioned_parser_total_on_random_bytes(data):
+    from ocr_pipeline_spark.sources.pdf import (
+        page_markdown_xy,
+        page_text_blocks,
+        page_text_xy,
+    )
+
+    page_text_blocks(data)
+    page_text_xy(data)
+    page_markdown_xy(data)
