@@ -1272,25 +1272,31 @@ def _run_events_stream(
     sink, ckpt, src = f"{base}/sink", f"{base}/ckpt", f"{base}/src"
     try:
         events = f"{sf_dir}/events.parquet"
-        if os.path.isdir(events) and n_deliveries == 1:
-            # zero-copy: the table is already a directory the file
-            # source can read in place — duplicating it onto local disk
-            # is exactly the driver-footprint these queries' lazy-sink
-            # contract exists to avoid
-            src = events
+        os.makedirs(src)
+        if os.path.isdir(events):
+            parts = [
+                os.path.join(events, f)
+                for f in sorted(os.listdir(events))
+                if f.endswith(".parquet")
+            ]
         else:
-            os.makedirs(src)
-            if os.path.isdir(events):
-                parts = [
-                    os.path.join(events, f)
-                    for f in sorted(os.listdir(events))
-                    if f.endswith(".parquet")
-                ]
-            else:
-                parts = [events]
-            for d in range(n_deliveries):
-                for i, part in enumerate(parts):
-                    shutil.copy(part, f"{src}/delivery{d}_{i}.parquet")
+            parts = [events]
+        for d in range(n_deliveries):
+            for i, part in enumerate(parts):
+                dst = f"{src}/delivery{d}_{i}.parquet"
+                if d == 0:
+                    # zero-copy first delivery: symlink keeps the
+                    # '*.parquet' filter AND avoids duplicating the
+                    # table onto driver-local disk (the footprint the
+                    # lazy-sink contract exists to avoid); re-deliveries
+                    # (the dedup query) are real copies so their mtimes
+                    # are independent
+                    try:
+                        os.symlink(os.path.abspath(part), dst)
+                        continue
+                    except OSError:  # pragma: no cover - odd filesystems
+                        pass
+                shutil.copy(part, dst)
         reader = spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, "
             "event_type string, value double, props string"

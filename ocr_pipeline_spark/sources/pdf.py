@@ -364,11 +364,17 @@ def _layout_lines(
     for x0, y0, x1, y1, text in blocks:
         if not text:
             continue
-        b = (
-            math.floor(y0 / y_tol)
-            if y_tol > 0 and math.isfinite(y0)
-            else 0
-        )
+        if not (y_tol > 0 and math.isfinite(y0)):
+            # a non-finite baseline can never merge (abs(inf-inf) is
+            # nan, never <= y_tol) — creating the row WITHOUT probing
+            # or registering keeps hostile saturated-coordinate streams
+            # linear instead of piling every block into one bucket
+            rows.append(
+                {"x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                 "cells": [(x0, text)]}
+            )
+            continue
+        b = math.floor(y0 / y_tol)
         candidates = sorted(
             i
             for bb in (b - 1, b, b + 1)

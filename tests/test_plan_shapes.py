@@ -262,3 +262,16 @@ def test_pdf_layout_markdown_is_fused_map(spark):
     assert plan.count("MapInPandas") == 1, plan[:2000]
     assert "Join" not in plan, plan[:2000]
     assert "hashpartitioning" not in plan, plan[:2000]
+
+
+def test_host_pagerank_final_plan_reads_checkpoints(spark):
+    """host_pagerank's lineage-cut contract (the same one anchor_texts
+    pins): after the per-iteration localCheckpoints, the final plan
+    reads materialized frames — the link-extraction kernel must NOT
+    reappear (no MapInPandas), or every action would re-run it per
+    consumer branch."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["host_pagerank"](spark, SF_DIR))
+    assert "MapInPandas" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
