@@ -1713,11 +1713,15 @@ def _q_dsir_weights(spark, sf_dir):
     verdict `keep` (doc's avg weight above the corpus mean) is a
     cross-multiplied integer comparison — no float aggregate anywhere.
 
-    Scale shape: gram explode -> hash -> ONE partial-aggregated
-    group-by to <=1024 bucket-stat rows (broadcast back) -> per-doc
-    integer partial agg -> global scalar rides a broadcast cross join.
-    The bucket table is O(1024) regardless of corpus size; nothing
-    collects."""
+    Scale shape: the exploded gram stream is aggregated ONCE to
+    (doc_id, lang, b, cnt) — bounded at <=1024 rows per document —
+    and BOTH consumers (the 1024-row bucket stats and the per-doc
+    weighted sum) read that same aggregate: the two branches share an
+    identical Exchange, so Spark's exchange reuse (ReusedExchange,
+    on by default) runs the explode+md5 map stage once.  The r4 shape
+    fed the raw gram stream to both consumers, paying the explode
+    twice end-to-end.  Bucket stats broadcast back; the global scalar
+    rides a broadcast cross join.  Nothing collects."""
     d = _t(spark, sf_dir, "documents")
     ws = d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
     grams = ws.select(
@@ -1746,19 +1750,27 @@ def _q_dsir_weights(spark, sf_dir):
             % 1024
         ).alias("b"),
     )
-    stats = feats.groupBy("b").agg(
-        F.count("*").alias("c_raw"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("c_tgt"),
+    # single pass over the explode: collapse occurrences per
+    # (doc_id, lang, b) first — both downstream consumers hang off
+    # this one aggregate (identical Exchange -> ReusedExchange)
+    per_doc = feats.groupBy("doc_id", "lang", "b").agg(
+        F.count("*").alias("cnt")
+    )
+    stats = per_doc.groupBy("b").agg(
+        F.sum("cnt").alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias(
+            "c_tgt"
+        ),
     )
     qlog = lambda c: F.length(F.bin(c + 1)) - 1  # noqa: E731
     weighted = (
-        feats.join(F.broadcast(stats), "b")
+        per_doc.join(F.broadcast(stats), "b")
         .groupBy("doc_id")
         .agg(
-            F.sum(qlog(F.col("c_tgt")) - qlog(F.col("c_raw"))).alias(
-                "llr_sum"
-            ),
-            F.count("*").alias("n_feats"),
+            F.sum(
+                F.col("cnt") * (qlog(F.col("c_tgt")) - qlog(F.col("c_raw")))
+            ).alias("llr_sum"),
+            F.sum("cnt").alias("n_feats"),
         )
     )
     totals = weighted.agg(
@@ -2111,20 +2123,32 @@ def _q_filter_funnel(spark, sf_dir):
     )
 
 
-def _q_dup_spans(spark, sf_dir):
-    """Exact duplicated-substring SPAN MARKING (the Lee et al.
-    'Deduplicating Training Data' primitive): every maximal run of
-    word 8-grams that occurs >= 2 times corpus-wide is emitted as a
-    removable (doc_id, span_start, span_end) interval.
+def _dup_gram_hits(d, k: int = 8):
+    """Shared mark phase of the Lee et al. span dedup: (doc_id, pos)
+    of every word k-gram occurrence whose gram occurs >= 2 times
+    corpus-wide.
 
-    Scale shape: gram occurrence counting is a window count over the
-    gram key — one shuffle, NO pair expansion, so a gram shared by
-    millions of documents costs a counter, not a quadratic bucket;
-    island-merging is a per-document window (partitioned by doc).
-    Gram key is md5 (engine-portable for the oracle; swap for
-    xxhash64 when DuckDB parity is not needed).  Integer-exact."""
-    d = _t(spark, sf_dir, "documents")
-    k = 8
+    Scale shape: TWO-PHASE counting — `groupBy(g).count()` (map-side
+    partial agg collapses a boilerplate gram that occurs millions of
+    times into one row per map task) followed by a LEFT SEMI join of
+    the occurrence stream against the duplicated gram keys.  The
+    previous shape (`count().over(Window.partitionBy("g"))`) had no
+    partial aggregation: every occurrence row of a hot gram shuffled
+    to a single reducer's sort buffer — the straggler at 100 TB.  The
+    semi join still shuffles gram groups by g, but a sort-merge/hash
+    join partition is AQE-skew-splittable (OptimizeSkewedJoin),
+    while a Window partition never is.  No pair expansion anywhere.
+
+    The explode+md5 map stage runs ONCE: the occurrence stream is
+    first collapsed to (g, doc_id, positions[]) — keyed by BOTH g and
+    doc_id, so even a boilerplate gram in millions of documents
+    spreads across that exchange instead of piling on one reducer —
+    and both consumers (the per-g total and the semi-join probe) hang
+    off that same aggregate, sharing its Exchange (ReusedExchange,
+    verified by plan test).  Positions per (g, doc_id) are bounded by
+    document length.  Gram key is md5 (engine-portable for the
+    oracle; swap for xxhash64 when DuckDB parity is not needed).
+    Integer-exact."""
     ws = d.select("doc_id", F.split("text", " ").alias("ws"))
     grams = ws.filter(F.size("ws") >= k).select(
         "doc_id",
@@ -2135,10 +2159,40 @@ def _q_dup_spans(spark, sf_dir):
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.pos").alias("pos"), F.col("e.g").alias("g"))
-    counted = grams.withColumn(
-        "cnt", F.count("*").over(Window.partitionBy("g"))
+    # exactly ONE aggregate expression (ps) so both consumers keep an
+    # identical column set — column pruning would otherwise specialize
+    # the two exchange subtrees and break ReusedExchange
+    per_gd = grams.groupBy("g", "doc_id").agg(
+        F.collect_list("pos").alias("ps")
     )
-    hits = counted.filter(F.col("cnt") >= 2).select("doc_id", "pos")
+    dup_keys = (
+        per_gd.groupBy("g").agg(F.sum(F.size("ps")).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("g")
+    )
+    # INNER join, not left_semi: dup_keys.g is an aggregate key (unique),
+    # so the result is identical — but PushDownLeftSemiAntiJoin would
+    # rewrite a semi join to below the probe-side aggregate, splitting
+    # the shared exchange back into two full explode+md5 scans
+    return (
+        per_gd.join(dup_keys, "g")
+        .select("doc_id", F.explode("ps").alias("pos"))
+    )
+
+
+def _q_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring SPAN MARKING (the Lee et al.
+    'Deduplicating Training Data' primitive): every maximal run of
+    word 8-grams that occurs >= 2 times corpus-wide is emitted as a
+    removable (doc_id, span_start, span_end) interval.
+
+    Scale shape: two-phase gram counting (partial agg + semi join,
+    see _dup_gram_hits — hot grams collapse map-side, the join is
+    AQE-skew-splittable); island-merging is a per-document window
+    (partitioned by doc).  Integer-exact."""
+    d = _t(spark, sf_dir, "documents")
+    k = 8
+    hits = _dup_gram_hits(d, k)
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)
@@ -2170,27 +2224,16 @@ def _q_dedup_apply_spans(spark, sf_dir):
     is dropped and the document re-joined; output is md5-witnessed so
     the oracle proves the exact same post-cut text.
 
-    Scale shape: the span marking reuses dup_spans' window plan (one
-    gram shuffle, no pair expansion); spans per document are bounded by
+    Scale shape: the span marking reuses dup_spans' two-phase plan
+    (_dup_gram_hits: partial-agg gram counting + AQE-skew-splittable
+    semi join, no pair expansion); spans per document are bounded by
     document length, so the per-doc collect_list is small; the cut is
     one JVM higher-order filter — narrow, no extra shuffle beyond the
     doc-key group."""
     d = _t(spark, sf_dir, "documents")
     k = 8
     ws = d.select("doc_id", F.split("text", " ").alias("ws"))
-    grams = ws.filter(F.size("ws") >= k).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(ws) - {k - 1}), "
-                f"i -> struct(i AS pos, md5(array_join(slice(ws, i, {k}), ' ')) AS g))"
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.pos").alias("pos"), F.col("e.g").alias("g"))
-    counted = grams.withColumn(
-        "cnt", F.count("*").over(Window.partitionBy("g"))
-    )
-    hits = counted.filter(F.col("cnt") >= 2).select("doc_id", "pos")
+    hits = _dup_gram_hits(d, k)
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)

@@ -93,17 +93,46 @@ def test_stratified_sample_single_exchange(spark):
 
 
 def test_dedup_apply_spans_no_pair_expansion(spark):
-    """Span removal keeps dup_spans' linear shape: gram counting is a
-    window over the gram key and the cut is a higher-order filter after
-    a doc-key join — a hot gram must cost a counter, never a pair
-    bucket (no flatten(transform(transform)) expansion in the plan)."""
+    """Span removal keeps dup_spans' linear shape: gram counting is
+    two-phase (partial agg + equi join back on the gram key) and the
+    cut is a higher-order filter after a doc-key join — a hot gram
+    must cost a counter, never a pair bucket (no
+    flatten(transform(transform)) expansion in the plan)."""
     import __spark_entry__ as entry_mod
 
     plan = _plan(entry_mod.queries()["dedup_apply_spans"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the only join is docs-left-join-spans on doc_id
-    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 1
+    # exactly two equi joins: gram-groups⋈dup-keys and docs⋈spans
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 2
+
+
+def test_dup_spans_two_phase_gram_counting(spark):
+    """dup_spans' 100-TB contract: gram occurrence counting is
+    TWO-PHASE — a partial-aggregated groupBy on the gram key joined
+    back — never `count().over(Window.partitionBy(g))`.  A window has
+    no map-side partial aggregation and its partition is not
+    AQE-splittable, so a boilerplate 8-gram occurring millions of
+    times corpus-wide would sit in one reducer's sort buffer.  The
+    only windows left are the per-document island merges.  Also pin
+    the shared exchange: both consumers of the (g, doc_id) gram-group
+    aggregate must reuse ONE exchange (the explode+md5 map stage runs
+    once, not once per consumer)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["dup_spans"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "windowspecdefinition(doc_id" in plan  # island merge stays
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(doc_id" in line, (
+                f"window keyed on the gram stream: {line.strip()[:160]}"
+            )
+    assert "HashAggregate(keys=[g#" in plan, "gram-key aggregate missing"
+    df.collect()
+    assert "ReusedExchange" in _plan(df), (
+        "gram explode subtree duplicated — shared exchange not reused"
+    )
 
 
 def test_contamination_gram_join_is_broadcast(spark):
@@ -222,9 +251,16 @@ def test_dsir_bucket_stats_join_is_broadcast(spark):
     gram stream is never shuffled for the weight lookup."""
     import __spark_entry__ as entry_mod
 
-    plan = _plan(entry_mod.queries()["dsir_weights"](spark, SF_DIR))
+    df = entry_mod.queries()["dsir_weights"](spark, SF_DIR)
+    plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+    # single gram pass: bucket stats and the per-doc weighted sum both
+    # consume the (doc_id, lang, b) pre-aggregate through ONE exchange
+    df.collect()
+    assert "ReusedExchange" in _plan(df), (
+        "gram explode subtree duplicated — shared exchange not reused"
+    )
 
 
 def test_robots_rules_join_is_broadcast(spark):
