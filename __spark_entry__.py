@@ -760,7 +760,17 @@ def _q_host_pagerank(spark, sf_dir):
     O(|hosts|), scalars on broadcast cross joins, per-iteration
     localCheckpoint lineage cuts.  Iterative -> no SQL oracle; pinned
     against an independent dense numpy power iteration at 1e-9
-    (tests/test_links_pagerank.py)."""
+    (tests/test_links_pagerank.py); the one-step integer-quantized
+    twin `pagerank_step` carries the hard DuckDB oracle for the same
+    graph + transition/dangling semantics.
+
+    The operator supports L1 convergence early-stop (`tol=`, twin-
+    parity-tested), but it is OFF here deliberately: this graph's
+    deltas decay ~0.7x/step (4.5e-2 after 5 steps, 6.6e-3 after 10),
+    so any tol tight enough to preserve ranking precision cannot fire
+    inside the 10-step cap — passing it would buy 10 delta-probe jobs
+    of pure scheduling overhead.  Use tol on graphs expected to
+    converge before the cap."""
     from ocr_pipeline_spark.fixtures.gen_pages import generate_pages_df
     from ocr_pipeline_spark.operators.links_op import host_link_graph
     from ocr_pipeline_spark.operators.pagerank import host_pagerank
@@ -861,6 +871,222 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(
         e.filter(F.col("vec_id") != 0), "embedding", "vec_id", query,
         k=10, n_planes=4, n_tables=12,
+    )
+
+
+def _q_ann_lsh_recall(spark, sf_dir):
+    """Recall-assertion twin of ann_lsh, giving the LSH path a HARD
+    DuckDB oracle: the Spark side computes BOTH the exact top-k (one
+    JVM-vectorized scan) and the hyperplane-LSH top-k, and returns
+    (k, n_hits) where n_hits = |exact ∩ lsh|.  The oracle asserts
+    n_hits = k: at n_planes=4, n_tables=24 the deterministic seeded
+    planes give recall 1.0 on this fixture (calibrated at sf 0.001 /
+    0.01 / 0.1 for the top-k query point; the compare runs at
+    sf0.01), so any regression in signatures, bucketing, or re-rank
+    flips the hash.  Scale shape: both arms are TakeOrdered over a
+    single scan; the intersection is a 10-row semi join."""
+    from ocr_pipeline_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        lsh_ann_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    rest = e.filter(F.col("vec_id") != 0)
+    exact = cosine_topk_bruteforce(
+        rest, "embedding", "vec_id", query, k=10
+    ).select("vec_id")
+    approx = lsh_ann_topk(
+        rest, "embedding", "vec_id", query, k=10, n_planes=4, n_tables=24
+    ).select("vec_id")
+    return exact.join(approx, "vec_id", "left_semi").agg(
+        F.lit(10).alias("k"),
+        F.count("*").cast("int").alias("n_hits"),
+    )
+
+
+def _q_ann_ivf_recall(spark, sf_dir):
+    """Recall-assertion twin of ann_ivf (hard DuckDB oracle for the
+    IVF path): exact top-k vs IVF top-k at n_cells=16, n_probe=12 —
+    deterministic seeded init + full-batch distributed Lloyd, so the
+    probed cells and therefore n_hits are reproducible.  n_probe is
+    calibrated for recall 1.0 at the oracle compare point (sf0.01;
+    also exact at sf0.001) — the oracle asserts n_hits = k, so a
+    regression in cell training, assignment, or probing flips the
+    hash.  At production scale the same pipeline runs n_probe <<
+    n_cells; this query is the correctness anchor, ann_ivf the
+    scale-shape one."""
+    from ocr_pipeline_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        ivf_ann_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    rest = e.filter(F.col("vec_id") != 0)
+    exact = cosine_topk_bruteforce(
+        rest, "embedding", "vec_id", query, k=10
+    ).select("vec_id")
+    approx = ivf_ann_topk(
+        rest, "embedding", "vec_id", query, k=10, n_cells=16, n_probe=12
+    ).select("vec_id")
+    return exact.join(approx, "vec_id", "left_semi").agg(
+        F.lit(10).alias("k"),
+        F.count("*").cast("int").alias("n_hits"),
+    )
+
+
+def _q_embedding_near_dup_lsh_recall(spark, sf_dir):
+    """Pair-recall assertion for the bucketed near-dup LSH path (hard
+    DuckDB oracle): one row (n_pairs_exact, n_pairs_lsh, n_common)
+    comparing the exact quadratic baseline with the LSH pair set at
+    threshold 0.4, n_planes=4, n_tables=24 (calibrated: the two sets
+    are IDENTICAL at the compare sf, so the oracle asserts three
+    equal counts straight from the exact SQL pair count).  Catches
+    missing pairs (recall), phantom pairs (precision), and
+    numpy-vs-JVM rounding drift at the 4-dp threshold boundary in
+    one hash."""
+    from ocr_pipeline_spark.operators.ann import (
+        cosine_near_dup_lsh,
+        cosine_pairs_bruteforce,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    exact = cosine_pairs_bruteforce(e, "embedding", "vec_id", 0.4).select(
+        "id_a", "id_b"
+    )
+    lsh = cosine_near_dup_lsh(
+        e, "embedding", "vec_id", 64, threshold=0.4, n_planes=4, n_tables=24
+    ).select("id_a", "id_b")
+    n_exact = exact.agg(F.count("*").alias("n_pairs_exact"))
+    n_lsh = lsh.agg(F.count("*").alias("n_pairs_lsh"))
+    n_common = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").alias("n_common")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            F.col("n_pairs_exact").cast("int").alias("n_pairs_exact"),
+            F.col("n_pairs_lsh").cast("int").alias("n_pairs_lsh"),
+            F.col("n_common").cast("int").alias("n_common"),
+        )
+    )
+
+
+def _q_doc_embeddings(spark, sf_dir):
+    """X53: text -> embedding via feature-hashed character 3-grams
+    (hashing trick, Weinberger et al. 2009), closing the corpus ->
+    embedding -> ANN/SemDeDup loop with a deterministic, model-free
+    featurizer (operators/embed.py).  Output is witnessed by the md5
+    of the 6-dp-quantized vector, so the oracle proves the exact
+    float sequence, not a rounding neighborhood.
+
+    Scale shape: one narrow Arrow kernel over (doc_id, text) — no
+    shuffle, no state; at 10^12 docs this is a pure map stage whose
+    output partitions feed the bucketed ANN/SemDeDup paths
+    unchanged."""
+    from ocr_pipeline_spark.operators.embed import EMBED_DDL, embed_kernel
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        d.mapInPandas(embed_kernel(), schema=EMBED_DDL)
+        .select("doc_id", "emb_md5")
+        .orderBy("doc_id")
+    )
+
+
+def _q_doc_embed_knn(spark, sf_dir):
+    """X53 chained: brute-force cosine top-10 over the TEXT-DERIVED
+    embeddings (doc_embeddings kernel feeding the X7 ANN operator in
+    one plan — the full corpus->embedding->search loop).  The query
+    vector is document 0's embedding, computed driver-side from its
+    text by the same pure function (1-row transfer).  Oracle: DuckDB
+    re-derives cosine top-k from the witnessed embedding arrays — the
+    JVM fold and list_dot_product both reduce left-to-right over
+    identical doubles, so the 6-dp rounded values hash-match."""
+    from ocr_pipeline_spark.operators.ann import cosine_topk_bruteforce
+    from ocr_pipeline_spark.operators.embed import (
+        EMBED_DDL,
+        embed_kernel,
+        embed_text,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qv = [float(x) for x in embed_text(
+        d.filter(F.col("doc_id") == 0).first().text or ""
+    )]
+    embs = d.filter(F.col("doc_id") != 0).mapInPandas(
+        embed_kernel(), schema=EMBED_DDL
+    )
+    return cosine_topk_bruteforce(embs, "embedding", "doc_id", qv, k=10)
+
+
+def _q_pagerank_step(spark, sf_dir):
+    """Hard DuckDB oracle for the PageRank path: ONE damped power step
+    from the uniform vector over the X31 host graph, INTEGER-QUANTIZED
+    so every cross-row sum is order-independent and engine-portable.
+    Per-edge contribution is (w * S) div out_w(src) with S = 10^12
+    (integer division in both engines); the step output is
+    rank_q = 0.15*S + (85 * (inflow_q + (n_dangling * S) div n)) div 100,
+    i.e. the standard (1-d)/n + d*(inflow + dangling/n) step scaled by
+    S*n — exercising the same graph build, transition normalization,
+    dangling redistribution, and teleport arithmetic as host_pagerank,
+    but hash-provable against SQL on the witnessed edge list.  The
+    iterative query (host_pagerank) stays numpy-parity-pinned; this
+    pins the semantics per engine.
+
+    Scale shape: edges checkpointed once (kernel subtree), one keyed
+    agg for out-weights, one partial-aggregated inflow group-by;
+    scalars (n, n_dangling) ride broadcast cross joins — no collect."""
+    from ocr_pipeline_spark.fixtures.gen_pages import generate_pages_df
+    from ocr_pipeline_spark.operators.links_op import host_link_graph
+
+    n_pages = min(
+        max(500, int(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * 200_000)),
+        4000,
+    )
+    pages = generate_pages_df(spark, n_pages, seed=42, cross_links=True)
+    S = 1_000_000_000_000
+    e = (
+        host_link_graph(pages)
+        .select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            F.col("n_links").cast("long").alias("w"),
+        )
+        # kernel-derived subtree with multiple consumers below: pin it
+        # (the anchor_texts/host_pagerank materialization policy)
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count("*").alias("n"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    ndang_df = nodes.join(
+        outw.select(F.col("src").alias("host")), "host", "left_anti"
+    ).agg(F.count("*").alias("nd"))
+    inflow = (
+        e.join(outw, "src")
+        .select("dst", F.expr(f"(w * {S}L) div ow").alias("c"))
+        .groupBy(F.col("dst").alias("host"))
+        .agg(F.sum("c").alias("qq"))
+    )
+    return (
+        nodes.join(inflow, "host", "left")
+        .crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(ndang_df))
+        .select(
+            "host",
+            (
+                F.lit(int(0.15 * S))
+                + F.expr(f"(85 * (coalesce(qq, 0L) + (nd * {S}L) div n)) div 100")
+            ).cast("long").alias("rank_q"),
+        )
+        .orderBy("host")
     )
 
 
@@ -2805,6 +3031,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_simhash": _q_lang_simhash,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
+        "ann_lsh_recall": _q_ann_lsh_recall,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "embedding_near_dup_lsh_recall": _q_embedding_near_dup_lsh_recall,
+        "pagerank_step": _q_pagerank_step,
+        "doc_embeddings": _q_doc_embeddings,
+        "doc_embed_knn": _q_doc_embed_knn,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -3283,6 +3515,85 @@ def oracle_sql() -> dict[str, str]:
                       4
                   ) >= 0.4
             ORDER BY id_a, id_b
+        """,
+        # Recall-assertion oracles for the approximate ANN paths: the
+        # Spark side computes exact-vs-approx agreement; the SQL side
+        # asserts the calibrated full-recall constant (ann_*_recall) or
+        # re-derives the exact pair count (near_dup_lsh_recall).  A
+        # signature/bucketing/probe regression breaks the row hash.
+        "ann_lsh_recall": """
+            SELECT CAST(10 AS INT) AS k, CAST(10 AS INT) AS n_hits
+        """,
+        "ann_ivf_recall": """
+            SELECT CAST(10 AS INT) AS k, CAST(10 AS INT) AS n_hits
+        """,
+        "embedding_near_dup_lsh_recall": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), cnt AS (
+                SELECT count(*) AS c
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE round(
+                          list_dot_product(a.v, b.v) /
+                          (sqrt(list_dot_product(a.v, a.v)) *
+                           sqrt(list_dot_product(b.v, b.v))),
+                          4
+                      ) >= 0.4
+            )
+            SELECT CAST(c AS INT) AS n_pairs_exact,
+                   CAST(c AS INT) AS n_pairs_lsh,
+                   CAST(c AS INT) AS n_common
+            FROM cnt
+        """,
+        "doc_embeddings": f"""
+            SELECT doc_id, emb_md5
+            FROM read_parquet('{_WITNESS_DIR}/doc_embeddings.parquet')
+            ORDER BY doc_id
+        """,
+        "doc_embed_knn": f"""
+            WITH w AS (
+                SELECT doc_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM read_parquet('{_WITNESS_DIR}/doc_embeddings.parquet')
+            ), q AS (
+                SELECT v AS qv FROM w WHERE doc_id = 0
+            )
+            SELECT w.doc_id,
+                   round(
+                       list_dot_product(w.v, q.qv) /
+                       (sqrt(list_dot_product(w.v, w.v)) *
+                        sqrt(list_dot_product(q.qv, q.qv))),
+                       6
+                   ) AS cos_sim
+            FROM w, q
+            WHERE w.doc_id != 0
+            ORDER BY cos_sim DESC, w.doc_id
+            LIMIT 10
+        """,
+        "pagerank_step": f"""
+            WITH e AS (
+                SELECT src_host AS src, dst_host AS dst,
+                       CAST(n_links AS BIGINT) AS w
+                FROM read_parquet('{_WITNESS_DIR}/host_link_graph.parquet')
+            ), nodes AS (
+                SELECT src AS host FROM e UNION SELECT dst FROM e
+            ), outw AS (
+                SELECT src, sum(w) AS ow FROM e GROUP BY src
+            ), scal AS (
+                SELECT (SELECT count(*) FROM nodes) AS n,
+                       (SELECT count(*) FROM nodes
+                        WHERE host NOT IN (SELECT src FROM e)) AS nd
+            ), inflow AS (
+                SELECT e.dst AS host,
+                       sum((e.w * 1000000000000) // outw.ow) AS qq
+                FROM e JOIN outw USING (src) GROUP BY e.dst
+            )
+            SELECT nodes.host,
+                   CAST(150000000000 + (85 * (coalesce(inflow.qq, 0)
+                        + (scal.nd * 1000000000000) // scal.n)) // 100
+                        AS BIGINT) AS rank_q
+            FROM nodes LEFT JOIN inflow USING (host), scal
+            ORDER BY nodes.host
         """,
         "host_stats": """
             SELECT source,

@@ -36,13 +36,25 @@ def host_pagerank(
     src: str = "src_host",
     dst: str = "dst_host",
     weight: str = "n_links",
+    tol: float | None = None,
 ) -> DataFrame:
-    """(host, rank) after `iterations` damped power steps.
+    """(host, rank) after at most `iterations` damped power steps.
 
     Semantics: standard weighted PageRank with uniform teleport and
     uniform redistribution of dangling (no-outlink) mass; ranks sum to
     1 every iteration (pinned by test).
-    """
+
+    `tol` enables convergence early-stop: iteration halts once the L1
+    delta between consecutive rank vectors falls below it.  The delta
+    is an O(|hosts|) join of the two CHECKPOINTED rank frames followed
+    by a one-row aggregate — the only driver transfer is that single
+    scalar (needed to branch the loop); the corpus-scale frames never
+    move.  Real web graphs converge in ~5-7 damped iterations, so the
+    early stop roughly halves the fixed per-iteration scheduling cost
+    that dominates wall time at small scale, and at 10^8 hosts it
+    skips genuinely expensive rank shuffles.  `tol=None` reproduces
+    the fixed-step power method exactly (the 1e-9 numpy parity
+    anchor)."""
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
@@ -86,7 +98,7 @@ def host_pagerank(
             ranks.join(dangling_nodes, "host", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(inflow, "host", "left")
             .crossJoin(F.broadcast(n_df))
             .crossJoin(F.broadcast(dangling))
@@ -105,4 +117,20 @@ def host_pagerank(
             # plan does not re-derive iterations 1..k
             .localCheckpoint(eager=True)
         )
+        if tol is not None:
+            # both sides are materialized checkpoints: this is an
+            # O(|hosts|) join + 1-row agg, and only the scalar crosses
+            # to the driver (required to branch the Python loop)
+            delta = (
+                ranks.select("host", F.col("rank").alias("_r0"))
+                .join(new_ranks.select("host", F.col("rank").alias("_r1")),
+                      "host")
+                .agg(F.sum(F.abs(F.col("_r1") - F.col("_r0"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks

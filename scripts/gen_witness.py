@@ -542,6 +542,29 @@ def witness_semdedup() -> pd.DataFrame:
     )
 
 
+def witness_doc_embeddings() -> pd.DataFrame:
+    """X53 witness: hashed char-ngram embeddings per document — the
+    single-process twin calls the SAME pure embed_text/embedding_md5
+    the Arrow kernel wraps (operators/embed.py), so distributed ==
+    local is exact.  Columns (doc_id, embedding, emb_md5): emb_md5
+    oracles doc_embeddings; the embedding array lets the doc_embed_knn
+    oracle re-derive cosine top-k in SQL."""
+    from ocr_pipeline_spark.operators.embed import embed_text, embedding_md5
+
+    docs = _docs_texts()
+    rows = []
+    for d, t in zip(docs.doc_id, docs.text):
+        v = embed_text(t or "")
+        rows.append(
+            {
+                "doc_id": int(d),
+                "embedding": [float(x) for x in v],
+                "emb_md5": embedding_md5(v),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def witness_warc_records() -> pd.DataFrame:
     """X44 witness: expected per-record fields computed WITHOUT the WARC
     writer or parser — url/date straight from the page wrapper, md5 and
@@ -593,6 +616,7 @@ WITNESSES = {
     "anchor_texts": witness_anchor_texts,
     "pdf_layout_markdown": witness_pdf_layout_markdown,
     "semdedup": witness_semdedup,
+    "doc_embeddings": witness_doc_embeddings,
     "warc_records": witness_warc_records,
     "bpe_merges": witness_bpe_merges,
     "bpe_encode_stats": witness_bpe_encode_stats,

@@ -181,6 +181,79 @@ def test_pagerank_matches_numpy(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def _numpy_pagerank_earlystop(edges, damping=0.85, iterations=10, tol=1e-7):
+    """Twin of the operator's early-stop rule: stop after the first
+    step whose L1 delta vs the previous rank vector is < tol."""
+    hosts = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    w = np.zeros((n, n))
+    for (s, d), c in edges.items():
+        w[idx[s], idx[d]] += c
+    out = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    steps = 0
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out[i] > 0:
+                contrib += r[i] * w[i] / out[i]
+        dangling = r[out == 0].sum()
+        r_new = (1 - damping) / n + damping * (contrib + dangling / n)
+        delta = np.abs(r_new - r).sum()
+        r = r_new
+        steps += 1
+        if delta < tol:
+            break
+    return dict(zip(hosts, r)), steps
+
+
+def test_pagerank_earlystop_matches_numpy_twin(spark):
+    """Convergence early-stop (tol) must implement EXACTLY the rule the
+    numpy twin implements — same stopping iteration, same ranks at the
+    stopping point.  tol=5e-2 stops this fixture graph at step 5 of 10
+    (its L1 deltas decay ~0.7x/step: 0.40, 0.17, 0.098, 0.066, 0.045);
+    a tol the graph never reaches must reproduce the fixed-step result
+    exactly (next test)."""
+    from ocr_pipeline_spark.operators.pagerank import host_pagerank
+
+    rows = generate_rows(300, seed=42, cross_links=True)
+    edges = dict(_local_edges(rows))
+    edge_df = spark.createDataFrame(
+        [(s, d, int(c)) for (s, d), c in edges.items()],
+        "src_host string, dst_host string, n_links long",
+    )
+    want, steps = _numpy_pagerank_earlystop(edges, iterations=10, tol=5e-2)
+    assert steps == 5, "fixture graph should stop at step 5 under tol=5e-2"
+    got = {
+        r.host: r.rank
+        for r in host_pagerank(edge_df, iterations=10, tol=5e-2).collect()
+    }
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h] == pytest.approx(want[h], abs=1e-9), h
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_unreached_tol_equals_fixed_step(spark):
+    """A tol below the graph's 10-step delta (6.6e-3 here) must leave
+    the result byte-identical to the fixed-step power method — the
+    early-stop branch adds a delta probe but never perturbs ranks."""
+    from ocr_pipeline_spark.operators.pagerank import host_pagerank
+
+    rows = generate_rows(300, seed=42, cross_links=True)
+    edges = dict(_local_edges(rows))
+    edge_df = spark.createDataFrame(
+        [(s, d, int(c)) for (s, d), c in edges.items()],
+        "src_host string, dst_host string, n_links long",
+    )
+    fixed = {r.host: r.rank
+             for r in host_pagerank(edge_df, iterations=6).collect()}
+    tolled = {r.host: r.rank
+              for r in host_pagerank(edge_df, iterations=6, tol=1e-7).collect()}
+    assert fixed == tolled
+
+
 def test_pagerank_dangling_mass_conserved(spark):
     """A pure sink (no outlinks) must redistribute, not leak, its mass."""
     from ocr_pipeline_spark.operators.pagerank import host_pagerank

@@ -1267,3 +1267,83 @@ def test_line_dedup_drops_cross_doc_paragraphs(spark):
         kept = [c for c in chunks(t) if len(df_count[c]) <= 1]
         expect = hashlib.md5("\n".join(kept).encode()).hexdigest()
         assert by_id[doc_id].kept_md5 == expect, doc_id
+
+
+# ------------------------------------------------------------- embed (X53)
+
+def test_embed_text_deterministic_unit_norm():
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.embed import embed_text
+
+    v1 = embed_text("the quick brown fox jumps over the lazy dog")
+    v2 = embed_text("the quick brown fox jumps over the lazy dog")
+    assert np.array_equal(v1, v2)
+    assert v1.shape == (64,)
+    assert abs(np.linalg.norm(v1) - 1.0) < 1e-12
+    # a different text must land elsewhere
+    v3 = embed_text("completely unrelated legal boilerplate text here")
+    assert float(v1 @ v3) < 0.9
+
+
+def test_embed_text_degenerate_inputs():
+    import numpy as np
+
+    from ocr_pipeline_spark.operators.embed import embed_text
+
+    for t in ["", "ab", None]:
+        v = embed_text(t or "")
+        assert np.array_equal(v, np.zeros(64))
+    # unicode: multibyte UTF-8 must hash over bytes without error
+    v = embed_text("héllo wörld — 中文テキスト 🚀")
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+
+
+def test_embed_similarity_orders_by_overlap():
+    """Cosine of hashed n-gram vectors must track n-gram overlap:
+    a near-duplicate scores far above an unrelated document."""
+    from ocr_pipeline_spark.operators.embed import embed_text
+
+    base = "spark structured streaming watermark state store eviction"
+    near = "spark structured streaming watermark state store evictions"
+    far = "quarterly revenue grew nine percent on dairy exports"
+    vb, vn, vf = embed_text(base), embed_text(near), embed_text(far)
+    assert float(vb @ vn) > 0.9
+    assert float(vb @ vf) < 0.5
+    assert float(vb @ vn) > float(vb @ vf)
+
+
+def test_embed_kernel_batch_invariant():
+    """The Arrow kernel must equal per-row embed_text regardless of
+    how rows are split into batches (the batch-invariance contract
+    every kernel in this repo carries)."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_pipeline_spark.operators.embed import (
+        embed_kernel,
+        embed_text,
+        embedding_md5,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "",
+        "x",
+        "héllo wörld mixed ünïcode",
+        "alpha beta gamma delta epsilon zeta eta theta",  # dup of row 0
+    ]
+    pdf = pd.DataFrame({"doc_id": range(5), "text": texts})
+    k = embed_kernel()
+    one_batch = pd.concat(list(k(iter([pdf]))), ignore_index=True)
+    many = pd.concat(
+        list(k(iter([pdf.iloc[:2], pdf.iloc[2:4], pdf.iloc[4:]]))),
+        ignore_index=True,
+    )
+    for got in (one_batch, many):
+        for i, t in enumerate(texts):
+            want = embed_text(t)
+            assert np.array_equal(np.array(got.embedding.iloc[i]), want), i
+            assert got.emb_md5.iloc[i] == embedding_md5(want), i
+    # identical texts embed identically (row 0 == row 4)
+    assert one_batch.emb_md5.iloc[0] == one_batch.emb_md5.iloc[4]
