@@ -2946,60 +2946,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS artifact.  The window membership is pinned by
     # tests/test_entry_contract.py::test_driver_window_allocation.
     return {
-        # -- driver window (first 50): extraction + curation flagship set
-        "pricing_summary": _q_pricing_summary,
-        "events_sessionized": _q_events_sessionized,
-        "events_sessionized_stream": _q_events_sessionized_stream,
-        "events_dedup_stream": _q_events_dedup_stream,
-        "events_windowed_stream": _q_events_windowed_stream,
-        "docs_by_lang": _q_docs_by_lang,
-        "dedup_exact": _q_dedup_exact,
-        "token_stats": _q_token_stats,
-        "quality_scores": _q_quality_scores,
-        "embedding_knn": _q_embedding_knn,
-        "embedding_quantize": _q_embedding_quantize,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "lang_pred": _q_lang_pred,
-        "dup_components_host": _q_dup_components_host,
-        "dup_spans": _q_dup_spans,
-        "filter_funnel": _q_filter_funnel,
-        "repetition_stats": _q_repetition_stats,
-        "pii_scrub": _q_pii_scrub,
-        "contamination_check": _q_contamination_check,
-        "supplier_share": _q_supplier_share,
-        "pdf_layout_markdown": _q_pdf_layout_markdown,
-        "train_test_split": _q_train_test_split,
-        "pack_sequences": _q_pack_sequences,
-        "doc_chunks": _q_doc_chunks,
+        # -- driver window (first 50), round-5 rotation: every query
+        # that has NEVER had a driver CORRECTNESS row (the 31 r4
+        # never-windowed + the 6 new round-5 queries) plus the pinned
+        # core: the extraction/witness family, the three queries whose
+        # plans changed this round (dup_spans, dedup_apply_spans,
+        # dsir_weights), the three streaming queries, and two near-dup
+        # flagships.  Every query rotated OUT has a green row in
+        # CORRECTNESS_r04 and stays covered by the identical compare in
+        # tests/test_entry_contract.py.
+        #
+        # pinned: extraction family
         "extract_documents": _q_extract_documents,
         "assemble_documents": _q_assemble_documents,
         "extract_pdf_documents": _q_extract_pdf_documents,
         "pdf_page_explode": _q_pdf_page_explode,
+        "pdf_layout_markdown": _q_pdf_layout_markdown,
+        # pinned: plans changed in round 5 (two-phase gram counting,
+        # single-pass DSIR) — must re-verify under the driver
+        "dup_spans": _q_dup_spans,
         "dedup_apply_spans": _q_dedup_apply_spans,
-        "stratified_sample": _q_stratified_sample,
-        "simhash_dup_pairs": _q_simhash_dup_pairs,
-        "minhash_dup_pairs": _q_minhash_dup_pairs,
-        "near_dup_verified": _q_near_dup_verified,
-        "media_features": _q_media_features,
-        "host_link_graph": _q_host_link_graph,
-        "bm25_search": _q_bm25_search,
-        "vocab_stats": _q_vocab_stats,
-        "incremental_dedup": _q_incremental_dedup,
-        "compression_signal": _q_compression_signal,
-        "lm_score": _q_lm_score,
-        "bpe_encode_stats": _q_bpe_encode_stats,
-        "term_postings": _q_term_postings,
-        "blocklist_tags": _q_blocklist_tags,
-        "mixing_weights": _q_mixing_weights,
-        "semdedup": _q_semdedup,
-        "warc_records": _q_warc_records,
         "dsir_weights": _q_dsir_weights,
-        "classifier_scores": _q_classifier_scores,
-        "line_dedup": _q_line_dedup,
-        "snapshot_diff": _q_snapshot_diff,
-        # -- oracled, outside the 50-entry driver window: long-stable
-        # relational/event variants and second family representatives;
-        # green under the identical compare in tests/test_entry_contract.py
+        # pinned: streaming (engine-dependent, keep hard signal fresh)
+        "events_sessionized_stream": _q_events_sessionized_stream,
+        "events_dedup_stream": _q_events_dedup_stream,
+        "events_windowed_stream": _q_events_windowed_stream,
+        # new in round 5 (first driver evaluation)
+        "doc_embeddings": _q_doc_embeddings,
+        "doc_embed_knn": _q_doc_embed_knn,
+        "ann_lsh_recall": _q_ann_lsh_recall,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "embedding_near_dup_lsh_recall": _q_embedding_near_dup_lsh_recall,
+        "pagerank_step": _q_pagerank_step,
+        # never-windowed until now (oracled green in pytest since r2-r4)
         "hybrid_search": _q_hybrid_search,
         "anchor_texts": _q_anchor_texts,
         "robots_filter": _q_robots_filter,
@@ -3031,12 +3010,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_simhash": _q_lang_simhash,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
-        "ann_lsh_recall": _q_ann_lsh_recall,
-        "ann_ivf_recall": _q_ann_ivf_recall,
-        "embedding_near_dup_lsh_recall": _q_embedding_near_dup_lsh_recall,
-        "pagerank_step": _q_pagerank_step,
-        "doc_embeddings": _q_doc_embeddings,
-        "doc_embed_knn": _q_doc_embed_knn,
+        # pinned: near-dup flagships
+        "minhash_dup_pairs": _q_minhash_dup_pairs,
+        "near_dup_verified": _q_near_dup_verified,
+        # -- oracled, outside the 50-entry driver window: rotated out
+        # this round (all carry a green CORRECTNESS_r04 row); green
+        # under the identical compare in tests/test_entry_contract.py
+        "pricing_summary": _q_pricing_summary,
+        "events_sessionized": _q_events_sessionized,
+        "docs_by_lang": _q_docs_by_lang,
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality_scores,
+        "embedding_knn": _q_embedding_knn,
+        "embedding_quantize": _q_embedding_quantize,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "lang_pred": _q_lang_pred,
+        "dup_components_host": _q_dup_components_host,
+        "filter_funnel": _q_filter_funnel,
+        "repetition_stats": _q_repetition_stats,
+        "pii_scrub": _q_pii_scrub,
+        "contamination_check": _q_contamination_check,
+        "supplier_share": _q_supplier_share,
+        "train_test_split": _q_train_test_split,
+        "pack_sequences": _q_pack_sequences,
+        "doc_chunks": _q_doc_chunks,
+        "stratified_sample": _q_stratified_sample,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "media_features": _q_media_features,
+        "host_link_graph": _q_host_link_graph,
+        "bm25_search": _q_bm25_search,
+        "vocab_stats": _q_vocab_stats,
+        "incremental_dedup": _q_incremental_dedup,
+        "compression_signal": _q_compression_signal,
+        "lm_score": _q_lm_score,
+        "bpe_encode_stats": _q_bpe_encode_stats,
+        "term_postings": _q_term_postings,
+        "blocklist_tags": _q_blocklist_tags,
+        "mixing_weights": _q_mixing_weights,
+        "semdedup": _q_semdedup,
+        "warc_records": _q_warc_records,
+        "classifier_scores": _q_classifier_scores,
+        "line_dedup": _q_line_dedup,
+        "snapshot_diff": _q_snapshot_diff,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,

@@ -270,21 +270,32 @@ def test_driver_window_allocation():
         "oracled query ordered after a non-oracled one"
     )
     window = set(names[:50])
+    # round-5 rotation: extraction family + round-5-changed plans +
+    # streams + new queries + everything that had never had a driver
+    # CORRECTNESS row before r5.  Rotated-out queries all carry a green
+    # CORRECTNESS_r04 row and stay covered by the mini-driver compare.
     must_have = {
+        # extraction family (always pinned)
         "extract_documents", "assemble_documents",
         "extract_pdf_documents", "pdf_page_explode",
-        "dedup_exact", "minhash_dup_pairs", "simhash_dup_pairs",
-        "near_dup_verified", "dup_components_host", "dup_spans",
-        "dedup_apply_spans", "incremental_dedup", "line_dedup",
-        "semdedup", "snapshot_diff", "warc_records",
-        "dsir_weights", "classifier_scores", "lm_score",
-        "compression_signal", "bpe_encode_stats", "bm25_search",
-        "contamination_check", "pii_scrub", "filter_funnel",
-        "mixing_weights", "blocklist_tags", "train_test_split",
-        "pack_sequences", "doc_chunks", "stratified_sample",
-        "media_features", "host_link_graph",
+        "pdf_layout_markdown",
+        # plans changed in round 5
+        "dup_spans", "dedup_apply_spans", "dsir_weights",
+        # streaming
         "events_sessionized_stream", "events_dedup_stream",
-        "events_windowed_stream", "pdf_layout_markdown",
+        "events_windowed_stream",
+        # new in round 5
+        "doc_embeddings", "doc_embed_knn", "ann_lsh_recall",
+        "ann_ivf_recall", "embedding_near_dup_lsh_recall",
+        "pagerank_step",
+        # first-ever driver evaluation (never windowed in r1-r4)
+        "hybrid_search", "anchor_texts", "robots_filter",
+        "bpe_pair_counts", "bpe_merges", "purchase_last_click",
+        "signup_clicks_1h", "embedding_near_dup", "host_stats",
+        "fingerprint_overlap", "jaccard_pairs_host",
+        "dedup_canonical_docs", "lang_simhash",
+        # near-dup flagships
+        "minhash_dup_pairs", "near_dup_verified",
     }
     missing = must_have - window
     assert not missing, f"flagships evicted from driver window: {missing}"

@@ -412,3 +412,53 @@ def test_non_utf8_and_gzip_pages_through_spark(spark):
     assert "café crème page." in got["https://h.org/cp1252"]
     assert "héllo wörld prose." in got["https://h.org/utf16"]
     assert "compressed page body." in got["https://h.org/gz"]
+
+
+def test_multi_mb_page_survives_arrow_batching(spark):
+    """SURVEY §7.3 hard part: multi-MB html blobs must cross the
+    JVM↔Python Arrow boundary without truncation or batch-boundary
+    corruption, byte-identical to the local kernel.  Builds a batch of
+    ~10 MB pages (repeated-paragraph body well past any single Arrow
+    record batch's comfort zone) plus normal-size neighbors, runs the
+    fused job with maxRecordsPerBatch pinned LOW so the big rows land
+    in different batches across runs, and compares markdown bytes."""
+    # paragraph token sets must be mutually DISJOINT or the cleaning
+    # chain (C7 fuzzy dup-paragraph removal, 0.8 token overlap) rightly
+    # collapses them — disjoint bodies exercise multi-MB through BOTH
+    # Arrow directions (html in, markdown out)
+    big_body = "".join(
+        "<p>" + " ".join(f"tok{j}word{k}" for k in range(14)) + ".</p>"
+        for j in range(55_000)
+    )  # ~10.5 MB of html
+    small_body = "<p>small page body prose for the neighbor row.</p>"
+    rows = []
+    for i in range(6):
+        body = big_body if i % 2 == 0 else small_body
+        rows.append((
+            f"https://bigblob.example.com/doc-{i}",
+            f"<html><head><title>t{i}</title></head><body><main>"
+            f"<h1>Doc {i}</h1>{body}</main></body></html>".encode(),
+        ))
+    assert max(len(h) for _, h in rows) > 10_000_000
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        pages = spark.createDataFrame(
+            [(u, None, h, "en") for u, h in rows],
+            "url string, warc_ts timestamp, html binary, lang string",
+        ).repartition(3)
+        got = {
+            r.url: r.markdown
+            for r in run_extraction(spark, pages, describe=True).collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert len(got) == len(rows)
+    for u, h in rows:
+        want = extract_page(h, page_num_from_url(u), describe=True).markdown
+        assert got[u] == want, f"byte mismatch for {u}"
+        assert len(want) > 1_000_000 if "doc-0" in u else True
