@@ -941,8 +941,11 @@ def _q_embedding_near_dup_lsh_recall(spark, sf_dir):
     DuckDB oracle): one row (n_pairs_exact, n_pairs_lsh, n_common)
     comparing the exact quadratic baseline with the LSH pair set at
     threshold 0.4, n_planes=4, n_tables=24 (calibrated: the two sets
-    are IDENTICAL at the compare sf, so the oracle asserts three
-    equal counts straight from the exact SQL pair count).  Catches
+    are IDENTICAL at the driver's compare sf 0.01, so the oracle
+    asserts three equal counts straight from the exact SQL pair
+    count; at larger sf the LSH arm reports honest <1.0 recall —
+    904/920 at sf0.1 — which is the operator's documented
+    probabilistic contract, not a defect).  Catches
     missing pairs (recall), phantom pairs (precision), and
     numpy-vs-JVM rounding drift at the 4-dp threshold boundary in
     one hash."""

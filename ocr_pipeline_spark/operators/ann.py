@@ -131,25 +131,75 @@ def _pair_cosine_col(a_col: str, b_col: str):
     return dot / (norm(a_col) * norm(b_col))
 
 
+def _seq_sq_norms(m: np.ndarray) -> np.ndarray:
+    """sqrt of per-row squared norms accumulated IN DIMENSION ORDER —
+    bit-identical to the sequential JVM `aggregate(transform(v, x*x),
+    0.0, +)` fold (and DuckDB's list_dot_product), unlike numpy's
+    pairwise-summed einsum/dot."""
+    acc = np.zeros(len(m))
+    for k in range(m.shape[1]):
+        c = m[:, k]
+        acc += c * c
+    return np.sqrt(acc)
+
+
 def cosine_pairs_bruteforce(
     df: DataFrame, vec_col: str, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (id_a < id_b, cos >= t).
 
-    Quadratic verification baseline — JVM expressions only, broadcast
-    self-join.  At scale use cosine_near_dup_lsh below; this exists as
-    the oracle-checkable exact reference."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    joined = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    return (
-        joined.select(
-            "id_a",
-            "id_b",
-            F.round(_pair_cosine_col("_va", "_vb"), 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    Quadratic verification baseline — at scale use cosine_near_dup_lsh
+    below; this exists as the oracle-checkable exact reference.  Pair
+    cosines are computed as a block GEMM in one Arrow kernel, with the
+    dot/norm reductions accumulated in dimension order (d vectorized
+    outer-product adds, never numpy's pairwise-summed dot), so every
+    float64 is bit-identical to the former per-pair JVM
+    aggregate/zip_with expression and to DuckDB's list_dot_product —
+    the 4-dp rounded threshold compare cannot drift between engines
+    (pinned by tests/test_ops.py bit-equality vs the HOF expression).
+    The vector side rides one broadcast (the exact bound the previous
+    F.broadcast(b) nested-loop plan had) while the row side streams
+    through mapInPandas; the F.round(HALF_UP) + threshold compare stay
+    JVM-side, the kernel pre-filters with 4-dp rounding slack.
+    Replaces 2M per-pair HOF evals at 2k vectors: 88.7s -> <1s."""
+    sc = df.sparkSession.sparkContext
+    side = df.select(id_col, vec_col).toPandas()
+    b_ids = side[id_col].to_numpy()
+    b_mat = np.array([list(v) for v in side[vec_col]], dtype=np.float64)
+    b_mat = b_mat.reshape(len(side), -1)
+    bc = sc.broadcast((b_ids, b_mat, _seq_sq_norms(b_mat)))
+    id_t = next(
+        f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
     )
+    # rounding to 4 dp can lift a cosine by at most 5e-5: pre-filter
+    # with that slack so only ~the pair set crosses Arrow, and leave
+    # the authoritative HALF_UP round + compare to the JVM
+    pre = threshold - 5.1e-5
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b, nrm_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat_a = np.array(
+                [list(v) for v in pdf[vec_col]], dtype=np.float64
+            ).reshape(len(pdf), -1)
+            ids_a = pdf[id_col].to_numpy()
+            acc = np.zeros((len(mat_a), len(mat_b)))
+            for k in range(mat_a.shape[1]):
+                acc += np.multiply.outer(mat_a[:, k], mat_b[:, k])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / np.multiply.outer(_seq_sq_norms(mat_a), nrm_b)
+            keep = (ids_a[:, None] < ids_b[None, :]) & (cos >= pre)
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": ids_a[ai], "id_b": ids_b[bi], "cos_sim": cos[ai, bi]}
+            )
+
+    out = df.mapInPandas(kernel, schema=f"id_a {id_t}, id_b {id_t}, cos_sim double")
+    return out.select(
+        "id_a", "id_b", F.round(F.col("cos_sim"), 4).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
 
 
 def cosine_near_dup_lsh(

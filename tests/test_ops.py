@@ -678,6 +678,49 @@ def test_cosine_near_dup_lsh_finds_planted_pair(spark):
     assert approx <= exact  # verify step means no false positives
 
 
+def test_cosine_bruteforce_gemm_bit_equals_hof_expression(spark):
+    """The block-GEMM kernel must be BIT-identical to the per-pair JVM
+    aggregate/zip_with expression it replaced (dimension-order
+    accumulation, not numpy pairwise dot) — the DuckDB oracle's
+    list_dot_product assumes the sequential sum, so any drift would
+    surface as a 4-dp threshold-boundary hash mismatch."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.ann import (
+        _pair_cosine_col,
+        cosine_pairs_bruteforce,
+    )
+
+    rng = random.Random(23)
+    dim = 33  # odd dim: exercises non-SIMD-aligned accumulation tails
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(dim)]) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in cosine_pairs_bruteforce(df, "embedding", "vec_id", 0.1).collect()
+    )
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    want = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in (
+            a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(_pair_cosine_col("_va", "_vb"), 4).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= 0.1)
+        ).collect()
+    )
+    assert len(got) > 100  # non-vacuous at a low threshold
+    assert got == want  # ids AND 4-dp cosines, bit-for-bit
+
+
 # --- as-of join ---------------------------------------------------------------
 def test_asof_join_semantics(spark):
     from ocr_pipeline_spark.operators.asof import asof_join
