@@ -874,21 +874,13 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
-def _q_ann_lsh_recall(spark, sf_dir):
-    """Recall-assertion twin of ann_lsh, giving the LSH path a HARD
-    DuckDB oracle: the Spark side computes BOTH the exact top-k (one
-    JVM-vectorized scan) and the hyperplane-LSH top-k, and returns
-    (k, n_hits) where n_hits = |exact ∩ lsh|.  The oracle asserts
-    n_hits = k: at n_planes=4, n_tables=24 the deterministic seeded
-    planes give recall 1.0 on this fixture (calibrated at sf 0.001 /
-    0.01 / 0.1 for the top-k query point; the compare runs at
-    sf0.01), so any regression in signatures, bucketing, or re-rank
-    flips the hash.  Scale shape: both arms are TakeOrdered over a
-    single scan; the intersection is a 10-row semi join."""
-    from ocr_pipeline_spark.operators.ann import (
-        cosine_topk_bruteforce,
-        lsh_ann_topk,
-    )
+def _ann_recall_row(spark, sf_dir, approx_topk):
+    """Shared body of the two ANN recall-assertion queries: exact
+    top-10 (one JVM-vectorized scan) vs an approximate arm, returning
+    one (k, n_hits) row where n_hits = |exact ∩ approx|.  Both arms
+    are TakeOrdered over a single scan; the intersection is a 10-row
+    semi join."""
+    from ocr_pipeline_spark.operators.ann import cosine_topk_bruteforce
 
     e = _t(spark, sf_dir, "embeddings")
     query = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
@@ -896,12 +888,28 @@ def _q_ann_lsh_recall(spark, sf_dir):
     exact = cosine_topk_bruteforce(
         rest, "embedding", "vec_id", query, k=10
     ).select("vec_id")
-    approx = lsh_ann_topk(
-        rest, "embedding", "vec_id", query, k=10, n_planes=4, n_tables=24
-    ).select("vec_id")
+    approx = approx_topk(rest, query).select("vec_id")
     return exact.join(approx, "vec_id", "left_semi").agg(
         F.lit(10).alias("k"),
         F.count("*").cast("int").alias("n_hits"),
+    )
+
+
+def _q_ann_lsh_recall(spark, sf_dir):
+    """Recall-assertion twin of ann_lsh, giving the LSH path a HARD
+    DuckDB oracle: (k, n_hits) with n_hits = |exact ∩ lsh|.  The
+    oracle asserts n_hits = k: at n_planes=4, n_tables=24 the
+    deterministic seeded planes give recall 1.0 on this fixture
+    (calibrated at sf 0.001 / 0.01 / 0.1 for the top-k query point;
+    the compare runs at sf0.01), so any regression in signatures,
+    bucketing, or re-rank flips the hash."""
+    from ocr_pipeline_spark.operators.ann import lsh_ann_topk
+
+    return _ann_recall_row(
+        spark, sf_dir,
+        lambda rest, query: lsh_ann_topk(
+            rest, "embedding", "vec_id", query, k=10, n_planes=4, n_tables=24
+        ),
     )
 
 
@@ -916,23 +924,13 @@ def _q_ann_ivf_recall(spark, sf_dir):
     hash.  At production scale the same pipeline runs n_probe <<
     n_cells; this query is the correctness anchor, ann_ivf the
     scale-shape one."""
-    from ocr_pipeline_spark.operators.ann import (
-        cosine_topk_bruteforce,
-        ivf_ann_topk,
-    )
+    from ocr_pipeline_spark.operators.ann import ivf_ann_topk
 
-    e = _t(spark, sf_dir, "embeddings")
-    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
-    rest = e.filter(F.col("vec_id") != 0)
-    exact = cosine_topk_bruteforce(
-        rest, "embedding", "vec_id", query, k=10
-    ).select("vec_id")
-    approx = ivf_ann_topk(
-        rest, "embedding", "vec_id", query, k=10, n_cells=16, n_probe=12
-    ).select("vec_id")
-    return exact.join(approx, "vec_id", "left_semi").agg(
-        F.lit(10).alias("k"),
-        F.count("*").cast("int").alias("n_hits"),
+    return _ann_recall_row(
+        spark, sf_dir,
+        lambda rest, query: ivf_ann_topk(
+            rest, "embedding", "vec_id", query, k=10, n_cells=16, n_probe=12
+        ),
     )
 
 
@@ -955,12 +953,24 @@ def _q_embedding_near_dup_lsh_recall(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    exact = cosine_pairs_bruteforce(e, "embedding", "vec_id", 0.4).select(
-        "id_a", "id_b"
+    dim = len(e.first().embedding)
+    # each pair set feeds two consumers (its count + the semi join):
+    # both arms end in Python kernels, which Catalyst cannot
+    # ReusedExchange — materialize once (the repo's stated policy for
+    # multi-consumer kernel subtrees; each is only O(pairs) rows)
+    exact = (
+        cosine_pairs_bruteforce(e, "embedding", "vec_id", 0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
-    lsh = cosine_near_dup_lsh(
-        e, "embedding", "vec_id", 64, threshold=0.4, n_planes=4, n_tables=24
-    ).select("id_a", "id_b")
+    lsh = (
+        cosine_near_dup_lsh(
+            e, "embedding", "vec_id", dim, threshold=0.4,
+            n_planes=4, n_tables=24,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     n_exact = exact.agg(F.count("*").alias("n_pairs_exact"))
     n_lsh = lsh.agg(F.count("*").alias("n_pairs_lsh"))
     n_common = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(

@@ -161,12 +161,24 @@ def cosine_pairs_bruteforce(
     F.broadcast(b) nested-loop plan had) while the row side streams
     through mapInPandas; the F.round(HALF_UP) + threshold compare stay
     JVM-side, the kernel pre-filters with 4-dp rounding slack.
-    Replaces 2M per-pair HOF evals at 2k vectors: 88.7s -> <1s."""
+    Replaces 2M per-pair HOF evals at 2k vectors: 88.7s -> <1s.
+
+    Trade-off, accepted for a verification baseline: the vector side
+    is collected at DataFrame-construction time (the former
+    F.broadcast(b) plan shipped the same bytes, but lazily at first
+    action), and the task broadcast lives until the session drops it."""
     sc = df.sparkSession.sparkContext
+    # null vectors produced a null cosine (filtered) under the old HOF
+    # expression — drop them up front so the kernel math never sees one
+    df = df.filter(F.col(vec_col).isNotNull())
     side = df.select(id_col, vec_col).toPandas()
     b_ids = side[id_col].to_numpy()
-    b_mat = np.array([list(v) for v in side[vec_col]], dtype=np.float64)
-    b_mat = b_mat.reshape(len(side), -1)
+    if len(side):
+        b_mat = np.array(
+            [list(v) for v in side[vec_col]], dtype=np.float64
+        ).reshape(len(side), -1)
+    else:
+        b_mat = np.zeros((0, 0))
     bc = sc.broadcast((b_ids, b_mat, _seq_sq_norms(b_mat)))
     id_t = next(
         f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
@@ -179,7 +191,7 @@ def cosine_pairs_bruteforce(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_b, mat_b, nrm_b = bc.value
         for pdf in batches:
-            if not len(pdf):
+            if not len(pdf) or not len(mat_b):
                 continue
             mat_a = np.array(
                 [list(v) for v in pdf[vec_col]], dtype=np.float64

@@ -125,7 +125,11 @@ def host_pagerank(
                 ranks.select("host", F.col("rank").alias("_r0"))
                 .join(new_ranks.select("host", F.col("rank").alias("_r1")),
                       "host")
-                .agg(F.sum(F.abs(F.col("_r1") - F.col("_r0"))).alias("d"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.abs(F.col("_r1") - F.col("_r0"))), F.lit(0.0)
+                    ).alias("d")
+                )
                 .first()["d"]
             )
             ranks = new_ranks

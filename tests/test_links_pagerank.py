@@ -237,8 +237,10 @@ def test_pagerank_earlystop_matches_numpy_twin(spark):
 
 def test_pagerank_unreached_tol_equals_fixed_step(spark):
     """A tol below the graph's 10-step delta (6.6e-3 here) must leave
-    the result byte-identical to the fixed-step power method — the
-    early-stop branch adds a delta probe but never perturbs ranks."""
+    the result equal to the fixed-step power method — the early-stop
+    branch adds a delta probe but never perturbs ranks.  Compared at
+    1e-12 (not ==): the per-host inflow is a distributed float sum, so
+    two independent executions may legally differ in the last ulp."""
     from ocr_pipeline_spark.operators.pagerank import host_pagerank
 
     rows = generate_rows(300, seed=42, cross_links=True)
@@ -251,7 +253,21 @@ def test_pagerank_unreached_tol_equals_fixed_step(spark):
              for r in host_pagerank(edge_df, iterations=6).collect()}
     tolled = {r.host: r.rank
               for r in host_pagerank(edge_df, iterations=6, tol=1e-7).collect()}
-    assert fixed == tolled
+    assert set(fixed) == set(tolled)
+    for h in fixed:
+        assert tolled[h] == pytest.approx(fixed[h], abs=1e-12), h
+
+
+def test_pagerank_tol_on_empty_graph(spark):
+    """tol's delta aggregate over an empty rank join yields SQL NULL —
+    must coalesce to 0.0, not raise, and return an empty frame like
+    the fixed-step path does."""
+    from ocr_pipeline_spark.operators.pagerank import host_pagerank
+
+    empty = spark.createDataFrame(
+        [], "src_host string, dst_host string, n_links long"
+    )
+    assert host_pagerank(empty, iterations=3, tol=1e-7).count() == 0
 
 
 def test_pagerank_dangling_mass_conserved(spark):

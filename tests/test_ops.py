@@ -721,6 +721,21 @@ def test_cosine_bruteforce_gemm_bit_equals_hof_expression(spark):
     assert got == want  # ids AND 4-dp cosines, bit-for-bit
 
 
+def test_cosine_bruteforce_degenerate_inputs(spark):
+    """Empty frames and NULL vectors must behave like the old HOF plan
+    (empty result / null rows filtered), not crash the GEMM kernel."""
+    from ocr_pipeline_spark.operators.ann import cosine_pairs_bruteforce
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_pairs_bruteforce(empty, "embedding", "vec_id", 0.4).count() == 0
+    withnull = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = cosine_pairs_bruteforce(withnull, "embedding", "vec_id", 0.9).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 3)]
+
+
 # --- as-of join ---------------------------------------------------------------
 def test_asof_join_semantics(spark):
     from ocr_pipeline_spark.operators.asof import asof_join

@@ -8,8 +8,9 @@ import pytest
 SF_DIR = "/root/testdata/sf0.01"
 
 # every query whose scale path must never degenerate into an all-pairs
-# physical join; embedding_near_dup is EXCLUDED on purpose — it is the
-# documented quadratic oracle baseline (broadcast nested-loop by design)
+# physical join; embedding_near_dup (the documented quadratic oracle
+# baseline) is pinned separately — since the round-5 GEMM rewrite even
+# it carries no BNLJ, just a narrow Arrow kernel
 _NO_CROSS_QUERIES = [
     "minhash_dup_pairs",
     "near_dup_verified",
@@ -48,13 +49,17 @@ def test_no_allpairs_join_in_scale_path(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
-def test_quadratic_baseline_is_the_only_bnlj(spark):
-    """embedding_near_dup (the exact oracle twin) is allowed to be a
-    broadcast nested-loop — pin that so the exception stays deliberate."""
+def test_quadratic_baseline_is_gemm_kernel_not_bnlj(spark):
+    """embedding_near_dup (the exact oracle twin) was the repo's one
+    sanctioned BroadcastNestedLoopJoin until round 5; the block-GEMM
+    rewrite made it a single narrow Arrow kernel, so pin the stronger
+    invariant: no BNLJ/Cartesian anywhere, pair math in MapInPandas."""
     import __spark_entry__ as entry_mod
 
     plan = _plan(entry_mod.queries()["embedding_near_dup"](spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
 
 
 def test_extraction_filter_pushdown_reaches_scan(spark, tmp_path):
