@@ -2087,6 +2087,88 @@ def _q_snapshot_diff(spark, sf_dir):
     )
 
 
+def _q_cdx_index(spark, sf_dir):
+    """X54: CDX-style URL index (the Common Crawl index-server shape):
+    every capture keyed by its SURT — host reversed on dots, then
+    path, then the query string with parameters in sorted order — so
+    one lexicographic sort clusters every capture of a host/prefix
+    and a frontier lookup is a range scan, not a full scan.  Urls are
+    synthesized deterministically from (source, doc_id) with three
+    query-string variants (multi-param unsorted, single-param, none)
+    so the param canonicalization is actually exercised; digest is
+    md5 of the body, timestamp is a deterministic 14-digit CDX
+    datetime.
+
+    Scale shape: pure narrow JVM string expressions (split / reverse /
+    array_join / array_sort) — zero Python, zero joins; the global
+    (surt_key, ts) order is the index contract, at 10^12 rows a
+    repartitionByRange + sortWithinPartitions producing range-sharded
+    CDX files (the orderBy here IS that range sort at toy scale)."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.concat(F.lit("/docs/"), F.col("doc_id"))
+    rawq = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("b=2&a=1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("z=9"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    canonq = F.array_join(F.array_sort(F.split(rawq, "&")), "&")
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        path,
+        F.coalesce(F.concat(F.lit("?"), canonq), F.lit("")),
+    )
+    return (
+        d.select(
+            surt.alias("surt_key"),
+            (F.lit(20260200000000) + F.col("doc_id")).alias("ts"),
+            F.concat(
+                F.lit("https://"), host, path,
+                F.coalesce(F.concat(F.lit("?"), rawq), F.lit("")),
+            ).alias("url"),
+            F.md5(F.encode("text", "UTF-8")).alias("digest"),
+        )
+        .orderBy("surt_key", "ts")
+    )
+
+
+def _q_corpus_curation(spark, sf_dir):
+    """X55: the flagship curation COMPOSITION in one Catalyst plan —
+    hygiene filter -> exact dedup (keep lowest doc_id per content
+    hash) -> per-language content-addressed quota (40 docs/lang) —
+    i.e. the standard corpus-build chain whose stages exist as
+    individual oracled queries (filter_funnel, dedup_exact,
+    stratified_sample), here fused to prove the stages compose into
+    a single lazily-planned pipeline a user would actually ship.
+
+    Scale shape: narrow filter (reads only n_chars + the hash) ->
+    ONE content-hash shuffle with map-side partial aggregation
+    (min-struct keeps the winning doc, never a window over raw rows)
+    -> ONE language-keyed window over the already-deduped survivors,
+    quota rank content-addressed (md5 of doc_id: reproducible across
+    runs, partitionings, and engines — never rand()).  Two keyed
+    shuffles total; nothing collects; both hot keys (content hash,
+    lang) are high-cardinality or quota-bounded."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.encode("text", "UTF-8"))
+    kept = (
+        d.filter(F.col("n_chars") >= 120)
+        .groupBy(h.alias("h"))
+        .agg(F.min(F.struct("doc_id", "lang")).alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.lang").alias("lang"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), "doc_id"
+    )
+    return (
+        kept.withColumn("pick_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick_rank") <= 40)
+        .select("lang", "pick_rank", "doc_id")
+        .orderBy("lang", "pick_rank")
+    )
+
+
 def _q_line_dedup(spark, sf_dir):
     """X47: CCNet/RefinedWeb-style paragraph-level dedup — drop every
     paragraph whose content appears in MORE THAN ONE distinct document
@@ -3066,6 +3148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": _q_classifier_scores,
         "line_dedup": _q_line_dedup,
         "snapshot_diff": _q_snapshot_diff,
+        "cdx_index": _q_cdx_index,
+        "corpus_curation": _q_corpus_curation,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -4395,6 +4479,49 @@ def oracle_sql() -> dict[str, str]:
             FROM snap_a FULL OUTER JOIN snap_b
                  ON snap_a.url = snap_b.url
             ORDER BY url
+        """,
+        "cdx_index": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       source || '.example.com' AS host,
+                       '/docs/' || doc_id AS path,
+                       CASE WHEN doc_id % 3 = 0 THEN 'b=2&a=1'
+                            WHEN doc_id % 3 = 1 THEN 'z=9'
+                            ELSE NULL END AS rawq
+                FROM documents
+            )
+            SELECT array_to_string(
+                       list_reverse(string_split(host, '.')), ',')
+                   || ')' || path
+                   || coalesce('?' || array_to_string(
+                          list_sort(string_split(rawq, '&')), '&'), '')
+                       AS surt_key,
+                   20260200000000 + doc_id AS ts,
+                   'https://' || host || path
+                   || coalesce('?' || rawq, '') AS url,
+                   md5(text) AS digest
+            FROM d
+            ORDER BY surt_key, ts
+        """,
+        "corpus_curation": """
+            WITH kept AS (
+                SELECT min(doc_id) AS doc_id,
+                       arg_min(lang, doc_id) AS lang
+                FROM documents
+                WHERE n_chars >= 120
+                GROUP BY md5(text)
+            ), ranked AS (
+                SELECT lang, doc_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS INT) AS pick_rank
+                FROM kept
+            )
+            SELECT lang, pick_rank, doc_id
+            FROM ranked
+            WHERE pick_rank <= 40
+            ORDER BY lang, pick_rank
         """,
         "line_dedup": """
             WITH ws AS (

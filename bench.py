@@ -199,7 +199,7 @@ def main() -> None:
             "anchor_texts", "robots_filter", "pdf_layout_markdown",
             "doc_embeddings", "doc_embed_knn", "ann_lsh_recall",
             "ann_ivf_recall", "embedding_near_dup_lsh_recall",
-            "pagerank_step",
+            "pagerank_step", "cdx_index", "corpus_curation",
         ]
         qs = entry_mod.queries()
         # reference times from the last clean same-sf campaign (committed
