@@ -2169,6 +2169,53 @@ def _q_corpus_curation(spark, sf_dir):
     )
 
 
+def _q_frontier_schedule(spark, sf_dir):
+    """X56: politeness-aware crawl-frontier scheduling — the step
+    between the robots filter (X51) and the fetch: assign every
+    frontier url a fetch shard (so one host never spans two fetchers
+    and per-host state stays local) and a dispatch slot that enforces
+    the host's crawl delay (slot k fetches at k*delay seconds; hosts
+    with more pending urls stretch further into the future, which is
+    exactly the budget signal a recrawl scheduler consumes).  Shard
+    count 8, per-host delay synthesized deterministically (2s, hosts
+    with n%2==0 get 5s) so the SQL twin rebuilds it; priority order
+    inside a host is content-addressed (md5 of the url — stable
+    across runs and engines, never rand()).
+
+    Scale shape: ONE host-keyed window (the same key the fetcher
+    partitions by, so the shuffle that computes the schedule is the
+    shuffle that ships urls to fetchers — it is free at plan level);
+    shard assignment is a narrow hash expression; no joins, nothing
+    collects.  At 10^12 urls the window is bounded per host, and the
+    WindowGroupLimit-style pruning a real frontier applies (top-K
+    urls per host per cycle) drops straight into the same plan."""
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(F.lit("https://"), "source",
+                 F.lit(".example.com/docs/"), "doc_id").alias("url"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("hn"),
+    )
+    delay = F.when(F.col("hn") % 2 == 0, F.lit(5)).otherwise(F.lit(2))
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.encode("url", "UTF-8")), "url"
+    )
+    return (
+        urls.select(
+            "url",
+            "host",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.encode("host", "UTF-8")), 1, 2), 16, 10)
+                .cast("int"),
+                F.lit(8),
+            ).cast("int").alias("fetch_shard"),
+            ((F.row_number().over(w) - F.lit(1)) * delay)
+            .cast("bigint").alias("dispatch_at_s"),
+        )
+        .orderBy("host", "dispatch_at_s", "url")
+    )
+
+
 def _q_line_dedup(spark, sf_dir):
     """X47: CCNet/RefinedWeb-style paragraph-level dedup — drop every
     paragraph whose content appears in MORE THAN ONE distinct document
@@ -3150,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "cdx_index": _q_cdx_index,
         "corpus_curation": _q_corpus_curation,
+        "frontier_schedule": _q_frontier_schedule,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -4502,6 +4550,30 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS digest
             FROM d
             ORDER BY surt_key, ts
+        """,
+        "frontier_schedule": """
+            WITH u AS (
+                SELECT 'https://' || source || '.example.com/docs/'
+                       || doc_id AS url,
+                       source || '.example.com' AS host,
+                       CAST(regexp_extract(source, 'src(\\d+)', 1)
+                            AS INT) AS hn
+                FROM documents
+            )
+            SELECT url, host,
+                   CAST(((strpos('0123456789abcdef',
+                                 substr(md5(host), 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef',
+                                 substr(md5(host), 2, 1)) - 1)) % 8
+                        AS INT) AS fetch_shard,
+                   CAST((row_number() OVER (
+                            PARTITION BY host
+                            ORDER BY md5(url), url
+                        ) - 1)
+                        * (CASE WHEN hn % 2 = 0 THEN 5 ELSE 2 END)
+                        AS BIGINT) AS dispatch_at_s
+            FROM u
+            ORDER BY host, dispatch_at_s, url
         """,
         "corpus_curation": """
             WITH kept AS (
