@@ -51,6 +51,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _synth_urls(d: DataFrame) -> DataFrame:
+    """Deterministic synthetic url per document — the ONE url-shape
+    definition shared by every crawl-side query (robots_filter,
+    snapshot_diff, frontier_schedule; their SQL twins spell the same
+    strings).  Keeps doc_id/text/lang and adds url, host, path, hn
+    (the numeric host id the per-host rule synthesizers key on)."""
+    return d.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.concat(F.lit("https://"), "source",
+                 F.lit(".example.com/docs/"), "doc_id").alias("url"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("/docs/"), "doc_id").alias("path"),
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("hn"),
+    )
+
+
 # --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: documents -> pages -> salted repartition -> Arrow
@@ -651,12 +669,8 @@ def _q_robots_filter(spark, sf_dir):
     few matched rules per url — no shuffle of the corpus beyond the
     host-keyed broadcast probe, exactly how a 10^12-url frontier is
     policy-filtered."""
-    d = _t(spark, sf_dir, "documents")
-    urls = d.select(
-        F.concat(F.lit("https://"), "source",
-                 F.lit(".example.com/docs/"), "doc_id").alias("url"),
-        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
-        F.concat(F.lit("/docs/"), "doc_id").alias("path"),
+    urls = _synth_urls(_t(spark, sf_dir, "documents")).select(
+        "url", "host", "path"
     )
     hosts = urls.select("host").distinct().withColumn(
         "hn", F.regexp_extract("host", r"src(\d+)", 1).cast("int")
@@ -2052,11 +2066,8 @@ def _q_snapshot_diff(spark, sf_dir):
     is a null/hash case expression; per-status totals are a partial
     agg.  Nothing collects, no pair expansion, bodies reduced to
     hashes at the scan."""
-    d = _t(spark, sf_dir, "documents").select(
-        F.concat(F.lit("https://"), "source",
-                 F.lit(".example.com/docs/"), "doc_id").alias("url"),
-        "doc_id",
-        "text",
+    d = _synth_urls(_t(spark, sf_dir, "documents")).select(
+        "url", "doc_id", "text"
     )
     snap_a = d.filter(F.col("doc_id") % 10 != 9).select(
         "url", F.md5(F.encode("text", "UTF-8")).alias("h_a")
@@ -2096,17 +2107,19 @@ def _q_cdx_index(spark, sf_dir):
     synthesized deterministically from (source, doc_id) with three
     query-string variants (multi-param unsorted, single-param, none)
     so the param canonicalization is actually exercised; digest is
-    md5 of the body, timestamp is a deterministic 14-digit CDX
-    datetime.
+    md5 of the body, and the capture key is a deterministic monotonic
+    integer in the CDX timestamp's 14-digit position (base + doc_id —
+    NOT a parseable yyyyMMddHHmmss datetime; a real crawl supplies
+    real capture times, and only ordering matters to the index).
 
     Scale shape: pure narrow JVM string expressions (split / reverse /
     array_join / array_sort) — zero Python, zero joins; the global
     (surt_key, ts) order is the index contract, at 10^12 rows a
     repartitionByRange + sortWithinPartitions producing range-sharded
     CDX files (the orderBy here IS that range sort at toy scale)."""
-    d = _t(spark, sf_dir, "documents")
-    host = F.concat(F.col("source"), F.lit(".example.com"))
-    path = F.concat(F.lit("/docs/"), F.col("doc_id"))
+    from ocr_pipeline_spark.operators.text_ops import exact_dup_key
+
+    d = _synth_urls(_t(spark, sf_dir, "documents"))
     rawq = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("b=2&a=1"))
         .when(F.col("doc_id") % 3 == 1, F.lit("z=9"))
@@ -2114,9 +2127,9 @@ def _q_cdx_index(spark, sf_dir):
     )
     canonq = F.array_join(F.array_sort(F.split(rawq, "&")), "&")
     surt = F.concat(
-        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.array_join(F.reverse(F.split("host", r"\.")), ","),
         F.lit(")"),
-        path,
+        F.col("path"),
         F.coalesce(F.concat(F.lit("?"), canonq), F.lit("")),
     )
     return (
@@ -2124,10 +2137,9 @@ def _q_cdx_index(spark, sf_dir):
             surt.alias("surt_key"),
             (F.lit(20260200000000) + F.col("doc_id")).alias("ts"),
             F.concat(
-                F.lit("https://"), host, path,
-                F.coalesce(F.concat(F.lit("?"), rawq), F.lit("")),
+                "url", F.coalesce(F.concat(F.lit("?"), rawq), F.lit("")),
             ).alias("url"),
-            F.md5(F.encode("text", "UTF-8")).alias("digest"),
+            exact_dup_key(F.col("text")).alias("digest"),
         )
         .orderBy("surt_key", "ts")
     )
@@ -2137,10 +2149,13 @@ def _q_corpus_curation(spark, sf_dir):
     """X55: the flagship curation COMPOSITION in one Catalyst plan —
     hygiene filter -> exact dedup (keep lowest doc_id per content
     hash) -> per-language content-addressed quota (40 docs/lang) —
-    i.e. the standard corpus-build chain whose stages exist as
-    individual oracled queries (filter_funnel, dedup_exact,
-    stratified_sample), here fused to prove the stages compose into
-    a single lazily-planned pipeline a user would actually ship.
+    i.e. the standard corpus-build chain whose stage FAMILIES exist
+    as individual oracled queries (cf. filter_funnel for the full
+    multi-predicate hygiene report, dedup_exact, stratified_sample;
+    this pipeline uses a single length predicate so each stage
+    visibly changes the row set at the compare sf), fused to prove
+    the stage shapes compose into a single lazily-planned pipeline a
+    user would actually ship.
 
     Scale shape: narrow filter (reads only n_chars + the hash) ->
     ONE content-hash shuffle with map-side partial aggregation
@@ -2150,19 +2165,20 @@ def _q_corpus_curation(spark, sf_dir):
     runs, partitionings, and engines — never rand()).  Two keyed
     shuffles total; nothing collects; both hot keys (content hash,
     lang) are high-cardinality or quota-bounded."""
+    from ocr_pipeline_spark.operators.text_ops import exact_dup_key
+
     d = _t(spark, sf_dir, "documents")
-    h = F.md5(F.encode("text", "UTF-8"))
     kept = (
         d.filter(F.col("n_chars") >= 120)
-        .groupBy(h.alias("h"))
+        .groupBy(exact_dup_key(F.col("text")).alias("h"))
         .agg(F.min(F.struct("doc_id", "lang")).alias("s"))
         .select(F.col("s.doc_id").alias("doc_id"), F.col("s.lang").alias("lang"))
     )
     w = Window.partitionBy("lang").orderBy(
-        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), "doc_id"
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
     return (
-        kept.withColumn("pick_rank", F.row_number().over(w).cast("int"))
+        kept.withColumn("pick_rank", F.row_number().over(w))
         .filter(F.col("pick_rank") <= 40)
         .select("lang", "pick_rank", "doc_id")
         .orderBy("lang", "pick_rank")
@@ -2189,26 +2205,18 @@ def _q_frontier_schedule(spark, sf_dir):
     collects.  At 10^12 urls the window is bounded per host, and the
     WindowGroupLimit-style pruning a real frontier applies (top-K
     urls per host per cycle) drops straight into the same plan."""
-    d = _t(spark, sf_dir, "documents")
-    urls = d.select(
-        F.concat(F.lit("https://"), "source",
-                 F.lit(".example.com/docs/"), "doc_id").alias("url"),
-        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
-        F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("hn"),
-    )
+    urls = _synth_urls(_t(spark, sf_dir, "documents"))
     delay = F.when(F.col("hn") % 2 == 0, F.lit(5)).otherwise(F.lit(2))
-    w = Window.partitionBy("host").orderBy(
-        F.md5(F.encode("url", "UTF-8")), "url"
-    )
+    w = Window.partitionBy("host").orderBy(F.md5(F.col("url")), "url")
     return (
         urls.select(
             "url",
             "host",
             F.pmod(
-                F.conv(F.substring(F.md5(F.encode("host", "UTF-8")), 1, 2), 16, 10)
+                F.conv(F.substring(F.md5(F.col("host")), 1, 2), 16, 10)
                 .cast("int"),
                 F.lit(8),
-            ).cast("int").alias("fetch_shard"),
+            ).alias("fetch_shard"),
             ((F.row_number().over(w) - F.lit(1)) * delay)
             .cast("bigint").alias("dispatch_at_s"),
         )
