@@ -316,3 +316,49 @@ def test_host_pagerank_final_plan_reads_checkpoints(spark):
     plan = _plan(entry_mod.queries()["host_pagerank"](spark, SF_DIR))
     assert "MapInPandas" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_cdx_index_is_narrow_plus_range_sort(spark):
+    """cdx_index (X54) must stay pure narrow JVM expressions: the only
+    exchange is the rangepartitioning for the global (surt_key, ts)
+    index order — no hash shuffle, no join, no Python."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["cdx_index"](spark, SF_DIR))
+    assert "MapInPandas" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "rangepartitioning" in plan, plan[:2000]
+
+
+def test_frontier_schedule_single_host_shuffle(spark):
+    """frontier_schedule (X56): the schedule is computed BY the
+    host-keyed shuffle the fetcher needs anyway — exactly one hash
+    exchange (on host), no join, no Python."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["frontier_schedule"](spark, SF_DIR))
+    assert plan.count("hashpartitioning") == 1, plan[:2000]
+    assert "hashpartitioning(host" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "MapInPandas" not in plan, plan[:2000]
+
+
+def test_corpus_curation_two_shuffles_with_partial_pruning(spark):
+    """corpus_curation (X55): exactly two keyed hash exchanges (content
+    hash, then lang), the dedup aggregate is partial (map-side combine
+    collapses dup content before the shuffle), the filter is pushed to
+    the parquet scan, and the 40/lang quota prunes map-side via
+    WindowGroupLimit Partial BEFORE the language exchange."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["corpus_curation"](spark, SF_DIR))
+    assert plan.count("hashpartitioning") == 2, plan[:3000]
+    assert "partial_min" in plan, plan[:3000]
+    assert "GreaterThanOrEqual(n_chars,120)" in plan, plan[:3000]
+    # the Partial WindowGroupLimit must sit below (after in toString
+    # order) the lang exchange, pruning rows before they shuffle
+    partial = plan.index("row_number(), 40, Partial")
+    lang_exchange = plan.index("Exchange hashpartitioning(lang")
+    assert partial > lang_exchange, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
