@@ -1049,6 +1049,47 @@ def _q_doc_embed_knn(spark, sf_dir):
     return cosine_topk_bruteforce(embs, "embedding", "doc_id", qv, k=10)
 
 
+def _q_doc_embed_semdedup(spark, sf_dir):
+    """X53×X43: the corpus → embedding → SemDeDup chain in one query —
+    documents feed the hashing-trick embed kernel, its vectors train
+    the bounded md5-ordered centroid sample and flow through the
+    cell-shuffled per-cell drop rule (tau=0.95, calibrated on the
+    char-3gram profile similarity of the synthetic corpus: 24/500
+    drops at the compare sf, non-vacuous both ways).  Oracle: golden
+    witness from the single-process twin that chains the SAME pure
+    functions (embed_text → Lloyd → assign → per-cell GEMM), so the
+    end-to-end chain is proven bit-exact, not just per stage.
+
+    Scale shape: embed is a narrow Arrow map; its output is
+    localCheckpoint-materialized because the chain consumes it twice
+    (the O(sample) centroid collect + the dedup pass — the repo's
+    policy for multi-consumer Python-kernel subtrees); then ONE cell
+    shuffle.  At 10^12 docs the materialization is the embedding
+    table you'd persist anyway."""
+    from ocr_pipeline_spark.operators.embed import EMBED_DDL, embed_kernel
+    from ocr_pipeline_spark.operators.semdedup import (
+        semdedup,
+        train_centroids_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = (
+        d.mapInPandas(embed_kernel(), schema=EMBED_DDL)
+        .select("doc_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    cents = train_centroids_sample(
+        emb, "embedding", "doc_id", n_cells=8, sample_n=256, iters=8
+    )
+    return (
+        semdedup(emb, "embedding", "doc_id", cents, tau=0.95)
+        .select(
+            F.col("vec_id").alias("doc_id"), "cell", "cent_sim", "keep"
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_pagerank_step(spark, sf_dir):
     """Hard DuckDB oracle for the PageRank path: ONE damped power step
     from the uniform vector over the X31 host graph, INTEGER-QUANTIZED
@@ -3206,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": _q_cdx_index,
         "corpus_curation": _q_corpus_curation,
         "frontier_schedule": _q_frontier_schedule,
+        "doc_embed_semdedup": _q_doc_embed_semdedup,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -4455,6 +4497,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cell, cent_sim, keep
             FROM read_parquet('{_WITNESS_DIR}/semdedup.parquet')
             ORDER BY vec_id
+        """,
+        "doc_embed_semdedup": f"""
+            SELECT doc_id, cell, cent_sim, keep
+            FROM read_parquet('{_WITNESS_DIR}/doc_embed_semdedup.parquet')
+            ORDER BY doc_id
         """,
         "warc_records": f"""
             SELECT url, warc_date, rec_type, http_status, html_md5,

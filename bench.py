@@ -200,7 +200,7 @@ def main() -> None:
             "doc_embeddings", "doc_embed_knn", "ann_lsh_recall",
             "ann_ivf_recall", "embedding_near_dup_lsh_recall",
             "pagerank_step", "cdx_index", "corpus_curation",
-            "frontier_schedule",
+            "frontier_schedule", "doc_embed_semdedup",
         ]
         qs = entry_mod.queries()
         # reference times from the last clean same-sf campaign (committed

@@ -565,6 +565,54 @@ def witness_doc_embeddings() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def witness_doc_embed_semdedup() -> pd.DataFrame:
+    """X53×X43 witness: the full corpus → embedding → SemDeDup chain
+    replayed single-process — embed_text per document (the pure
+    function the Arrow kernel wraps), then the identical
+    sample→Lloyd→assign→per-cell-drop flow witness_semdedup uses, so
+    the chained Spark query is proven end-to-end bit-exact, not just
+    per stage."""
+    import hashlib
+
+    from ocr_pipeline_spark.operators.embed import embed_text
+    from ocr_pipeline_spark.operators.semdedup import (
+        cell_sims,
+        lloyd_spherical,
+        normalize_rows,
+        semdedup_cell,
+    )
+
+    docs = _docs_texts()
+    ids = docs.doc_id.to_numpy().astype("int64")
+    V = np.array(
+        [[float(x) for x in embed_text(t or "")] for t in docs.text],
+        dtype=np.float64,
+    )
+    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    order = sorted(range(len(ids)), key=lambda j: (keys[j], ids[j]))
+    C = [
+        [float(x) for x in row]
+        for row in lloyd_spherical(V[order[:256]], n_cells=8, iters=8)
+    ]
+    Cn = normalize_rows(np.array(C, dtype=np.float64))
+    Vn = normalize_rows(V)
+    sims = cell_sims(Vn, Cn)
+    cell = np.argmax(sims, axis=1)
+    cent_sim = sims[np.arange(len(cell)), cell]
+    parts = []
+    for c in sorted(set(cell.tolist())):
+        m = cell == c
+        out = semdedup_cell(ids[m], Vn[m], cent_sim[m], tau=0.95)
+        out.insert(1, "cell", np.int32(c))
+        parts.append(out)
+    return (
+        pd.concat(parts, ignore_index=True)
+        .rename(columns={"vec_id": "doc_id"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def witness_warc_records() -> pd.DataFrame:
     """X44 witness: expected per-record fields computed WITHOUT the WARC
     writer or parser — url/date straight from the page wrapper, md5 and
@@ -617,6 +665,7 @@ WITNESSES = {
     "pdf_layout_markdown": witness_pdf_layout_markdown,
     "semdedup": witness_semdedup,
     "doc_embeddings": witness_doc_embeddings,
+    "doc_embed_semdedup": witness_doc_embed_semdedup,
     "warc_records": witness_warc_records,
     "bpe_merges": witness_bpe_merges,
     "bpe_encode_stats": witness_bpe_encode_stats,
