@@ -492,13 +492,14 @@ def witness_bpe_encode_stats() -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "n_words", "n_tokens"])
 
 
-def witness_semdedup() -> pd.DataFrame:
-    """X43 witness: SemDeDup keep/drop table — the full pipeline
-    (md5-ordered bounded sample -> driver Lloyd -> assign -> per-cell
-    rank-and-drop) replayed single-process with the SAME pure-numpy
-    kernels the Spark path uses.  Every cross-row reduction in those
-    kernels is fixed-order over the embedding dimension, so equality
-    with the distributed output is bit-exact, not approximate."""
+def _semdedup_twin(ids: np.ndarray, V: np.ndarray, tau: float) -> pd.DataFrame:
+    """Single-process SemDeDup twin shared by BOTH semdedup witnesses:
+    md5-ordered bounded sample -> driver Lloyd (with the Spark path's
+    exact python-float round-trip) -> renormalize -> argmax assign ->
+    per-cell rank-and-drop, all with the SAME pure-numpy kernels the
+    Spark operators call.  Every cross-row reduction is fixed-order
+    over the embedding dimension, so equality with the distributed
+    output is bit-exact, not approximate."""
     import hashlib
 
     from ocr_pipeline_spark.operators.semdedup import (
@@ -508,31 +509,24 @@ def witness_semdedup() -> pd.DataFrame:
         semdedup_cell,
     )
 
-    emb = pd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-    ids = emb.vec_id.to_numpy().astype("int64")
     # the query's deterministic sample: smallest (md5(str(id)), id) rows
     keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
     order = sorted(range(len(ids)), key=lambda j: (keys[j], ids[j]))
-    X = np.array(
-        [list(emb.embedding.iloc[j]) for j in order[:256]], dtype=np.float64
-    )
     # mirror the Spark path's exact float sequence: Lloyd -> python-float
     # round-trip -> renormalize (semdedup() renormalizes its input)
     C = [
         [float(x) for x in row]
-        for row in lloyd_spherical(X, n_cells=8, iters=8)
+        for row in lloyd_spherical(V[order[:256]], n_cells=8, iters=8)
     ]
     Cn = normalize_rows(np.array(C, dtype=np.float64))
-    Vn = normalize_rows(
-        np.array([list(v) for v in emb.embedding], dtype=np.float64)
-    )
+    Vn = normalize_rows(V)
     sims = cell_sims(Vn, Cn)
     cell = np.argmax(sims, axis=1)
     cent_sim = sims[np.arange(len(cell)), cell]
     parts = []
     for c in sorted(set(cell.tolist())):
         m = cell == c
-        out = semdedup_cell(ids[m], Vn[m], cent_sim[m], tau=0.35)
+        out = semdedup_cell(ids[m], Vn[m], cent_sim[m], tau=tau)
         out.insert(1, "cell", np.int32(c))
         parts.append(out)
     return (
@@ -540,6 +534,15 @@ def witness_semdedup() -> pd.DataFrame:
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
+
+
+def witness_semdedup() -> pd.DataFrame:
+    """X43 witness: SemDeDup keep/drop table over the fixture
+    embeddings (see _semdedup_twin for the bit-exactness argument)."""
+    emb = pd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = emb.vec_id.to_numpy().astype("int64")
+    V = np.array([list(v) for v in emb.embedding], dtype=np.float64)
+    return _semdedup_twin(ids, V, tau=0.35)
 
 
 def witness_doc_embeddings() -> pd.DataFrame:
@@ -572,15 +575,7 @@ def witness_doc_embed_semdedup() -> pd.DataFrame:
     sample→Lloyd→assign→per-cell-drop flow witness_semdedup uses, so
     the chained Spark query is proven end-to-end bit-exact, not just
     per stage."""
-    import hashlib
-
     from ocr_pipeline_spark.operators.embed import embed_text
-    from ocr_pipeline_spark.operators.semdedup import (
-        cell_sims,
-        lloyd_spherical,
-        normalize_rows,
-        semdedup_cell,
-    )
 
     docs = _docs_texts()
     ids = docs.doc_id.to_numpy().astype("int64")
@@ -588,25 +583,8 @@ def witness_doc_embed_semdedup() -> pd.DataFrame:
         [[float(x) for x in embed_text(t or "")] for t in docs.text],
         dtype=np.float64,
     )
-    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-    order = sorted(range(len(ids)), key=lambda j: (keys[j], ids[j]))
-    C = [
-        [float(x) for x in row]
-        for row in lloyd_spherical(V[order[:256]], n_cells=8, iters=8)
-    ]
-    Cn = normalize_rows(np.array(C, dtype=np.float64))
-    Vn = normalize_rows(V)
-    sims = cell_sims(Vn, Cn)
-    cell = np.argmax(sims, axis=1)
-    cent_sim = sims[np.arange(len(cell)), cell]
-    parts = []
-    for c in sorted(set(cell.tolist())):
-        m = cell == c
-        out = semdedup_cell(ids[m], Vn[m], cent_sim[m], tau=0.95)
-        out.insert(1, "cell", np.int32(c))
-        parts.append(out)
     return (
-        pd.concat(parts, ignore_index=True)
+        _semdedup_twin(ids, V, tau=0.95)
         .rename(columns={"vec_id": "doc_id"})
         .sort_values("doc_id")
         .reset_index(drop=True)

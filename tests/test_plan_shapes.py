@@ -358,6 +358,8 @@ def test_corpus_curation_two_shuffles_with_partial_pruning(spark):
     assert "GreaterThanOrEqual(n_chars,120)" in plan, plan[:3000]
     # the Partial WindowGroupLimit must sit below (after in toString
     # order) the lang exchange, pruning rows before they shuffle
+    assert "row_number(), 40, Partial" in plan, plan[:3000]
+    assert "Exchange hashpartitioning(lang" in plan, plan[:3000]
     partial = plan.index("row_number(), 40, Partial")
     lang_exchange = plan.index("Exchange hashpartitioning(lang")
     assert partial > lang_exchange, plan[:3000]

@@ -13,20 +13,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_pyfiles_zip_contains_every_source_module():
     zip_path = os.path.join(REPO, "dist", "ocr_pipeline_spark.zip")
     assert os.path.exists(zip_path), "run scripts/build_pyfiles.sh"
-    z = zipfile.ZipFile(zip_path)
-    names = set(z.namelist())
     missing, stale = [], []
-    for f in glob.glob(
-        os.path.join(REPO, "ocr_pipeline_spark", "**", "*.py"),
-        recursive=True,
-    ):
-        rel = os.path.relpath(f, REPO)
-        if rel not in names:
-            missing.append(rel)
-        # byte-compare too: a zip that has the module but an OLD copy of
-        # it would pass a presence-only check and still ship wrong code
-        # to every executor
-        elif z.read(rel) != open(f, "rb").read():
-            stale.append(rel)
+    with zipfile.ZipFile(zip_path) as z:
+        names = set(z.namelist())
+        for f in glob.glob(
+            os.path.join(REPO, "ocr_pipeline_spark", "**", "*.py"),
+            recursive=True,
+        ):
+            rel = os.path.relpath(f, REPO)
+            if rel not in names:
+                missing.append(rel)
+                continue
+            # byte-compare too: a zip that has the module but an OLD
+            # copy of it would pass a presence-only check and still
+            # ship wrong code to every executor
+            with open(f, "rb") as fh:
+                if z.read(rel) != fh.read():
+                    stale.append(rel)
     assert not missing, f"modules missing from dist zip, rebuild: {missing}"
     assert not stale, f"stale module bytes in dist zip, rebuild: {stale}"
