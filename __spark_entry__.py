@@ -814,6 +814,152 @@ def _q_extract_documents(spark, sf_dir):
     ).orderBy("url")
 
 
+def _q_page_metadata(spark, sf_dir):
+    """X57: head-metadata scan projection — <title>, meta description,
+    canonical link, og:title and schema.org JSON-LD @type per url
+    (kernel/metadata.py), the crawl-side analog of the reference's
+    page-header metadata (ref src/stage2_ocr.py:519-544).  The corpus
+    is the driver documents table wrapped with a deterministic
+    metadata-bearing <head> (fixtures/gen_pages.wrap_document_with_head)
+    that exercises entity decode, absent fields, malformed JSON-LD and
+    first-title-wins.
+
+    Scale shape: a narrow map over the (url, html) scan emitting five
+    short strings per page — no shuffle at all; at 10^12 rows this is
+    the same map-only plan as extraction, and the canonical column it
+    emits is the dedup key the CDX index prefers.  Oracle: golden
+    witness from the single-process kernel twin
+    (scripts/gen_witness.py)."""
+    from ocr_pipeline_spark.fixtures.gen_pages import documents_with_head_df
+    from ocr_pipeline_spark.operators.metadata_op import page_metadata_df
+
+    pages = documents_with_head_df(_t(spark, sf_dir, "documents"))
+    return page_metadata_df(pages).orderBy("url")
+
+
+def _q_extract_fidelity(spark, sf_dir):
+    """X58: extraction fidelity scoring — token-multiset precision /
+    recall / F1 of each page's extracted markdown against the table's
+    source `text` column (the CleanEval-style main-content-extraction
+    evaluation; here the wrap is synthetic so recall is the kernel's
+    boilerplate-vs-content separation measured end-to-end).
+
+    Scale shape: both sides tokenize into (url, tok, cnt) via
+    partial-agg group-bys (map-side combine collapses repeated tokens
+    before any exchange), the multiset intersection is ONE equi-join on
+    (url, tok), then a per-url agg — never a per-pair comparison.  The
+    P/R/F1 ratios are exact IEEE divisions of integer counts (no
+    rounding), so they hash identically to the oracle.  Oracle: DuckDB
+    computes the same arithmetic from the extract_documents witness
+    markdown joined to documents.text."""
+    from ocr_pipeline_spark.fixtures.gen_pages import documents_as_pages_df
+    from ocr_pipeline_spark.plans.job import run_extraction
+
+    d = _t(spark, sf_dir, "documents")
+    pages = documents_as_pages_df(d)
+    out = run_extraction(spark, pages, describe=True, co_locate_hosts=False)
+
+    def toks(col):
+        return F.filter(
+            F.split(F.lower(F.regexp_replace(col, "[^a-zA-Z0-9]+", " ")), " "),
+            lambda t: t != "",
+        )
+
+    ext = (
+        out.select("url", F.explode(toks(F.col("markdown"))).alias("tok"))
+        .groupBy("url", "tok")
+        .agg(F.count("*").alias("cnt_e"))
+    )
+    urls = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    src = (
+        urls.select("url", F.explode(toks(F.col("text"))).alias("tok"))
+        .groupBy("url", "tok")
+        .agg(F.count("*").alias("cnt_s"))
+    )
+    common = (
+        ext.join(src, ["url", "tok"])
+        .groupBy("url")
+        .agg(F.sum(F.least("cnt_e", "cnt_s")).alias("n_common"))
+    )
+    n_ext = ext.groupBy("url").agg(F.sum("cnt_e").alias("n_ext"))
+    n_src = src.groupBy("url").agg(F.sum("cnt_s").alias("n_src"))
+    j = (
+        urls.select("url")
+        .join(n_src, "url", "left")
+        .join(n_ext, "url", "left")
+        .join(common, "url", "left")
+        .fillna(0, subset=["n_src", "n_ext", "n_common"])
+    )
+    p = F.when(
+        F.col("n_ext") > 0, F.col("n_common") / F.col("n_ext")
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("n_src") > 0, F.col("n_common") / F.col("n_src")
+    ).otherwise(F.lit(0.0))
+    scored = j.select(
+        "url",
+        F.col("n_src").cast("long").alias("n_src"),
+        F.col("n_ext").cast("long").alias("n_ext"),
+        F.col("n_common").cast("long").alias("n_common"),
+        p.alias("precision"),
+        r.alias("recall"),
+    )
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        F.lit(2.0) * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(0.0))
+    return scored.withColumn("f1", f1).orderBy("url")
+
+
+def _q_text_normalize(spark, sf_dir):
+    """X59: Unicode text canonicalization (CCNet-style normalize stage):
+    NFC composition + C0/DEL control stripping in an Arrow kernel
+    (Python unicodedata), verified byte-for-byte against DuckDB's
+    independent utf8proc nfc_normalize — two unrelated Unicode
+    implementations agreeing on every md5 is the strongest oracle this
+    family can have.  The synthetic corpus is ASCII, so deterministic
+    non-NFC noise is injected per doc_id: %3==0 gets decomposed
+    e+COMBINING ACUTE / u+COMBINING DIAERESIS sequences (must compose),
+    %3==1 gets C0 control characters (must strip), %3==2 is untouched
+    (already-normal path — the operator must be a no-op).
+
+    Scale shape: a narrow map (doc_id, text) -> (doc_id, md5, lengths);
+    no shuffle, same plan as lang_pred at any corpus size."""
+    from ocr_pipeline_spark.operators.text_ops import normalize_kernel
+
+    d = _t(spark, sf_dir, "documents")
+    injected = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("Cafe\u0301 "), F.col("text"), F.lit(" stru\u0308del")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("\x07bell\x1f "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+    )
+    with_inj = d.select("doc_id", injected.alias("text"))
+    normed = with_inj.mapInPandas(
+        normalize_kernel(), schema="doc_id long, text string, norm string"
+    )
+    return normed.select(
+        "doc_id",
+        F.md5(F.encode(F.col("norm"), "UTF-8")).alias("norm_md5"),
+        F.length("text").cast("long").alias("n_before"),
+        F.length("norm").cast("long").alias("n_after"),
+    ).orderBy("doc_id")
+
+
 def _q_lang_simhash(spark, sf_dir):
     from ocr_pipeline_spark.operators.text_ops import lang_id_kernel, simhash_kernel
 
@@ -3153,6 +3299,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_documents": _q_extract_pdf_documents,
         "pdf_page_explode": _q_pdf_page_explode,
         "pdf_layout_markdown": _q_pdf_layout_markdown,
+        # new in round 5, extraction family (first driver evaluation):
+        # head-metadata projection, end-to-end fidelity scoring, and
+        # Unicode canonicalization — window slots freed by rotating out
+        # custkey_intersect / custkey_except / custs_no_big_orders
+        # (set-op demos, pytest-covered)
+        "page_metadata": _q_page_metadata,
+        "extract_fidelity": _q_extract_fidelity,
+        "text_normalize": _q_text_normalize,
         # pinned: plans changed in round 5 (two-phase gram counting,
         # single-pass DSIR) — must re-verify under the driver
         "dup_spans": _q_dup_spans,
@@ -3188,10 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signup_clicks_1h": _q_signup_clicks_1h,
         "docs_char_quantiles": _q_docs_char_quantiles,
         "events_rollup": _q_events_rollup,
-        "custkey_intersect": _q_custkey_intersect,
-        "custkey_except": _q_custkey_except,
         "custs_with_recent_orders": _q_custs_with_recent_orders,
-        "custs_no_big_orders": _q_custs_no_big_orders,
         "embedding_near_dup": _q_embedding_near_dup,
         "host_stats": _q_host_stats,
         "fingerprint_overlap": _q_fingerprint_overlap,
@@ -3205,8 +3356,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "near_dup_verified": _q_near_dup_verified,
         # -- oracled, outside the 50-entry driver window: rotated out
-        # this round (all carry a green CORRECTNESS_r04 row); green
-        # under the identical compare in tests/test_entry_contract.py
+        # this round (green CORRECTNESS_r04 rows, except the three
+        # set-op demos displaced by the new extraction-family queries);
+        # green under the identical compare in tests/test_entry_contract.py
+        "custkey_intersect": _q_custkey_intersect,
+        "custkey_except": _q_custkey_except,
+        "custs_no_big_orders": _q_custs_no_big_orders,
         "pricing_summary": _q_pricing_summary,
         "events_sessionized": _q_events_sessionized,
         "docs_by_lang": _q_docs_by_lang,
@@ -4220,6 +4375,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, page_type, method, markdown, n_chars
             FROM read_parquet('{_WITNESS_DIR}/extract_documents.parquet')
             ORDER BY url
+        """,
+        "page_metadata": f"""
+            SELECT url, title, description, canonical, og_title, ld_type
+            FROM read_parquet('{_WITNESS_DIR}/page_metadata.parquet')
+            ORDER BY url
+        """,
+        # extract_fidelity: SQL-expressible end-to-end — DuckDB
+        # recomputes the token-multiset P/R/F1 from the witness
+        # markdown (independent single-process kernel loop) joined to
+        # the documents text; the ratios are IEEE divisions of exact
+        # integer counts on both sides, so no rounding is needed.
+        "extract_fidelity": f"""
+            WITH w AS (
+                SELECT url, markdown
+                FROM read_parquet('{_WITNESS_DIR}/extract_documents.parquet')
+            ), urls AS (
+                SELECT 'https://' || source || '.example.com/docs/'
+                       || CAST(doc_id AS VARCHAR) AS url, text
+                FROM documents
+            ), ext AS (
+                SELECT url, tok, count(*) AS cnt_e FROM (
+                    SELECT url, unnest(string_split(lower(
+                        regexp_replace(markdown, '[^a-zA-Z0-9]+', ' ', 'g')
+                    ), ' ')) AS tok FROM w
+                ) WHERE tok <> '' GROUP BY url, tok
+            ), src AS (
+                SELECT url, tok, count(*) AS cnt_s FROM (
+                    SELECT url, unnest(string_split(lower(
+                        regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')
+                    ), ' ')) AS tok FROM urls
+                ) WHERE tok <> '' GROUP BY url, tok
+            ), com AS (
+                SELECT e.url, sum(least(cnt_e, cnt_s)) AS n_common
+                FROM ext e JOIN src s ON e.url = s.url AND e.tok = s.tok
+                GROUP BY e.url
+            ), ne AS (SELECT url, sum(cnt_e) AS n_ext FROM ext GROUP BY url),
+            ns AS (SELECT url, sum(cnt_s) AS n_src FROM src GROUP BY url),
+            j AS (
+                SELECT u.url,
+                       CAST(coalesce(ns.n_src, 0) AS BIGINT) AS n_src,
+                       CAST(coalesce(ne.n_ext, 0) AS BIGINT) AS n_ext,
+                       CAST(coalesce(com.n_common, 0) AS BIGINT) AS n_common
+                FROM (SELECT url FROM urls) u
+                LEFT JOIN ns USING (url)
+                LEFT JOIN ne USING (url)
+                LEFT JOIN com USING (url)
+            ), pr AS (
+                SELECT url, n_src, n_ext, n_common,
+                       CASE WHEN n_ext > 0 THEN n_common / n_ext
+                            ELSE 0.0 END AS precision,
+                       CASE WHEN n_src > 0 THEN n_common / n_src
+                            ELSE 0.0 END AS recall
+                FROM j
+            )
+            SELECT url, n_src, n_ext, n_common, precision, recall,
+                   CASE WHEN precision + recall > 0
+                        THEN 2.0 * precision * recall / (precision + recall)
+                        ELSE 0.0 END AS f1
+            FROM pr ORDER BY url
+        """,
+        # text_normalize: the strongest oracle shape available — two
+        # INDEPENDENT Unicode implementations (Python unicodedata in
+        # the Arrow kernel, utf8proc inside DuckDB's nfc_normalize)
+        # must agree on every md5.  Injection literals mirror the
+        # Spark expressions codepoint-for-codepoint (chr(769) =
+        # U+0301 combining acute, chr(776) = U+0308 combining
+        # diaeresis, chr(7)/chr(31) = C0 controls).
+        "text_normalize": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN doc_id % 3 = 0 THEN 'Cafe' || chr(769) || ' '
+                              || text || ' stru' || chr(776) || 'del'
+                         WHEN doc_id % 3 = 1 THEN chr(7) || 'bell'
+                              || chr(31) || ' ' || text
+                         ELSE text
+                       END AS t
+                FROM documents
+            ), norm AS (
+                SELECT doc_id, t,
+                       regexp_replace(nfc_normalize(t),
+                           '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g') AS n
+                FROM inj
+            )
+            SELECT doc_id, md5(n) AS norm_md5,
+                   CAST(length(t) AS BIGINT) AS n_before,
+                   CAST(length(n) AS BIGINT) AS n_after
+            FROM norm ORDER BY doc_id
         """,
         "assemble_documents": f"""
             SELECT doc_key, n_pages, n_figures, n_chars

@@ -19,8 +19,10 @@ Design goals (FIXTURES.md §1):
 
 from __future__ import annotations
 
+import json
 import random
 from datetime import datetime, timedelta
+from html import escape
 
 # --- vocabulary -----------------------------------------------------------
 _WORDS = (
@@ -376,6 +378,88 @@ def wrap_document_as_page(doc_id: int, text: str, lang: str, source: str) -> dic
         "text": text,
         "lang": lang,
     }
+
+
+_LD_TYPES = ("Article", "NewsArticle", "BlogPosting")
+
+
+def wrap_document_with_head(doc_id: int, text: str, lang: str, source: str) -> dict:
+    """Deterministically wrap a driver `documents` row as a pages row
+    whose <head> carries the full metadata surface (title, description,
+    canonical, og:title, JSON-LD) — the input for the page_metadata
+    query and its single-process witness twin.
+
+    Branch coverage is keyed on doc_id so the corpus exercises every
+    kernel path: %5 -> entity-escaped title (decode path), %7 -> no
+    description (absent-field path), %11 -> malformed JSON-LD (degrade
+    path), %13 -> a second <title> in the body (first-wins path).
+    """
+    words = (text or "").split()
+    title_words = " ".join(words[:6]) or f"Document {doc_id}"
+    title_html = escape(title_words)
+    if doc_id % 5 == 0:
+        title_html += " &amp; more"  # kernel must decode -> "& more"
+    canonical = f"https://{source}.example.com/docs/{doc_id}"
+    url = canonical + "?utm_source=feed&ref=rss"
+    desc = (
+        ""
+        if doc_id % 7 == 0
+        else f'<meta name="description" content="{escape(" ".join(words[:25]), quote=True)}">'
+    )
+    og = escape("OG: " + " ".join(words[:4]), quote=True)
+    if doc_id % 11 == 0:
+        ld = '{"@type": "Broken",'  # truncated JSON -> ld_type ""
+    else:
+        ld = json.dumps(
+            {
+                "@context": "https://schema.org",
+                "@type": _LD_TYPES[doc_id % 3],
+                "headline": title_words,
+            }
+        )
+    second_title = (
+        f"<title>late duplicate {doc_id}</title>" if doc_id % 13 == 0 else ""
+    )
+    paras = [" ".join(words[i : i + 40]) for i in range(0, len(words), 40)] or [""]
+    body = f"<h1>Document {doc_id}</h1>" + "".join(
+        f"<p>{escape(p)}.</p>" for p in paras
+    )
+    html = (
+        "<!DOCTYPE html><html><head>"
+        f"<title>{title_html}</title>"
+        f"{desc}"
+        f'<link rel="canonical" href="{canonical}">'
+        f'<meta property="og:title" content="{og}">'
+        f'<script type="application/ld+json">{ld}</script>'
+        f"</head><body>{second_title}{body}</body></html>"
+    )
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + timedelta(seconds=int(doc_id) * 53),
+        "html": html.encode("utf-8"),
+        "text": text,
+        "lang": lang,
+    }
+
+
+def documents_with_head_df(documents_df):
+    """documents(doc_id, text, lang, source, ...) -> head-enriched pages."""
+    import pandas as pd
+
+    def _wrap(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    wrap_document_with_head(int(d), t, l, s)
+                    for d, t, l, s in zip(
+                        pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+                    )
+                ]
+            )
+
+    return documents_df.select("doc_id", "text", "lang", "source").mapInPandas(
+        _wrap, schema=PAGES_SCHEMA_DDL
+    )
 
 
 def documents_as_pages_df(documents_df):

@@ -239,6 +239,12 @@ _ATTR_TAGS = frozenset(
 # raw-text elements: content is literal until the matching end tag
 _RAW_TEXT = ("script", "style", "textarea", "title")
 
+# head-metadata tags whose attributes are parsed only when the caller
+# opts in (kernel/metadata.py): the extraction hot path never reads
+# them, so by default they cost zero attr-parse work — same opt-in
+# pattern as `hrefs` for kernel/links.py
+_META_TAGS = frozenset({"meta", "link", "script", "base"})
+
 # container ids that mark the main-content root (Readability-style);
 # shared with blocks.select_main_root so the parse-time hint tracking
 # and the traversal fallback test the identical set
@@ -281,7 +287,9 @@ def _parse_attrs(raw: str) -> dict[str, str]:
     return attrs
 
 
-def _parse_html_fast(html: str, hrefs: bool = False) -> Node:
+def _parse_html_fast(
+    html: str, hrefs: bool = False, metadata: bool = False
+) -> Node:
     """String-scanner with the tree-builder's start/end logic inlined.
 
     Must mirror _TreeBuilder._handle_start_parsed / handle_endtag /
@@ -420,6 +428,8 @@ def _parse_html_fast(html: str, hrefs: bool = False) -> Node:
             # opt-in (kernel/links.py): the extraction hot path never
             # reads hrefs, so anchors skip attr parsing by default
             or (hrefs and "href" in attrs_raw)
+            # opt-in (kernel/metadata.py): head-metadata tags
+            or (metadata and tag in _META_TAGS)
         ):
             attrs = _parse_attrs(attrs_raw)
         else:
@@ -572,7 +582,10 @@ def decode_html(raw: bytes) -> str:
 
 
 def parse_html(
-    html: str | bytes, tokenizer: str = "fast", hrefs: bool = False
+    html: str | bytes,
+    tokenizer: str = "fast",
+    hrefs: bool = False,
+    metadata: bool = False,
 ) -> Node:
     """Parse an HTML document (bytes are charset-sniffed via decode_html).
 
@@ -599,7 +612,7 @@ def parse_html(
     if tokenizer == "stdlib":
         return _parse_html_stdlib(html)
     try:
-        return _parse_html_fast(html, hrefs=hrefs)
+        return _parse_html_fast(html, hrefs=hrefs, metadata=metadata)
     except Exception:
         # any scanner bug degrades to the slow, battle-tested path
         # (html.parser keeps every attr, so hrefs survive here too)

@@ -100,6 +100,37 @@ def lang_id_kernel(text_col: str = "text", out_col: str = "lang_pred"):
     return kernel
 
 
+# C0 controls except \t\n\r, plus DEL — the characters a curation
+# normalize pass strips (they break tokenizers and leak from broken
+# charset transcodes); kept in sync with the DuckDB oracle's RE2 class
+# in __spark_entry__.oracle_sql()["text_normalize"]
+_CTRL_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+
+
+def normalize_text(text: str) -> str:
+    """CCNet-style canonicalization: Unicode NFC composition + control
+    stripping.  Pure function; NFC via Python's unicodedata, which the
+    oracle cross-checks against DuckDB's independent utf8proc
+    implementation byte-for-byte."""
+    import unicodedata
+
+    return _CTRL_RE.sub("", unicodedata.normalize("NFC", text or ""))
+
+
+def normalize_kernel(text_col: str = "text", out_col: str = "norm"):
+    """mapInPandas kernel factory: adds the NFC-normalized column.
+    Arrow-batched — NFC has no JVM built-in, so this is the sanctioned
+    Python boundary (same policy tier as lang_id_kernel)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [normalize_text(t) for t in pdf[text_col]]
+            yield pdf
+
+    return kernel
+
+
 # =========================================================================
 # Compression-ratio quality signal (Gopher-style)
 # =========================================================================

@@ -627,6 +627,23 @@ def witness_warc_records() -> pd.DataFrame:
     )
 
 
+def witness_page_metadata() -> pd.DataFrame:
+    """Twin of _q_page_metadata at sf0.01: documents -> head-enriched
+    pages (wrap_document_with_head) -> kernel/metadata.page_metadata;
+    columns (url, title, description, canonical, og_title, ld_type)."""
+    from ocr_pipeline_spark.fixtures.gen_pages import wrap_document_with_head
+    from ocr_pipeline_spark.kernel.metadata import page_metadata
+
+    docs = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    rows = []
+    for d, t, l, s in zip(docs.doc_id, docs.text, docs.lang, docs.source):
+        p = wrap_document_with_head(int(d), t, l, s)
+        rows.append({"url": p["url"], **page_metadata(p["html"])})
+    return pd.DataFrame(rows).sort_values("url").reset_index(drop=True)
+
+
 WITNESSES = {
     "extract_documents": witness_extract_documents,
     "assemble_documents": witness_assemble_documents,
@@ -647,6 +664,7 @@ WITNESSES = {
     "warc_records": witness_warc_records,
     "bpe_merges": witness_bpe_merges,
     "bpe_encode_stats": witness_bpe_encode_stats,
+    "page_metadata": witness_page_metadata,
 }
 
 

@@ -288,6 +288,7 @@ def test_driver_window_allocation():
         "doc_embeddings", "doc_embed_knn", "ann_lsh_recall",
         "ann_ivf_recall", "embedding_near_dup_lsh_recall",
         "pagerank_step",
+        "page_metadata", "extract_fidelity", "text_normalize",
         # first-ever driver evaluation (never windowed in r1-r4)
         "hybrid_search", "anchor_texts", "robots_filter",
         "bpe_pair_counts", "bpe_merges", "purchase_last_click",

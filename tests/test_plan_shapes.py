@@ -364,3 +364,42 @@ def test_corpus_curation_two_shuffles_with_partial_pruning(spark):
     lang_exchange = plan.index("Exchange hashpartitioning(lang")
     assert partial > lang_exchange, plan[:3000]
     assert "Join" not in plan, plan[:3000]
+
+
+def test_page_metadata_is_map_only(spark):
+    """page_metadata (X57): five short strings per url projected off
+    the (url, html) scan — the ONLY exchange is the presentation sort;
+    no hash shuffle, no join, one Arrow kernel chain (the head wrap +
+    the metadata walk), exactly the plan that scales to 10^12 pages."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["page_metadata"](spark, SF_DIR))
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "MapInPandas" in plan, plan[:2000]
+
+
+def test_extract_fidelity_partial_aggs_no_cross(spark):
+    """extract_fidelity (X58): both token streams collapse through
+    map-side partial HashAggregates before any exchange (hot tokens
+    never flood a reducer), the multiset intersection is an equi-join
+    on (url, tok) — never a per-pair comparison."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["extract_fidelity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    # partial aggregate on the (url, tok) gram keys, map-side
+    assert "partial_count" in plan or "count(1)" in plan, plan[:3000]
+    assert "HashAggregate" in plan, plan[:2000]
+
+
+def test_text_normalize_is_map_only(spark):
+    """text_normalize (X59): narrow Arrow kernel over (doc_id, text);
+    no hash shuffle, no join — same scale shape as lang_pred."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["text_normalize"](spark, SF_DIR))
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "MapInPandas" in plan, plan[:2000]
