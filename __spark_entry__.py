@@ -1386,6 +1386,53 @@ def _q_near_dup_verified(spark, sf_dir):
     )
 
 
+def _q_fuzzy_decontamination(spark, sf_dir):
+    """X60: fuzzy benchmark decontamination — corpus documents that are
+    NEAR-duplicates of a held-out eval set (doc_id % 97 == 0, the same
+    stand-in contamination_check uses) under MinHash-LSH banding with
+    exact char-3-gram Jaccard verification at 0.5.  Paraphrased or
+    lightly-edited eval leaks survive the exact-gram check; this is the
+    pass that catches them.  Deterministic leaks are injected first:
+    corpus docs with doc_id % 89 == 0 (and not themselves eval) take
+    the text of eval doc 97*(doc_id % 6) plus eight of their own words
+    — near-dup but not exact.
+
+    Scale shape: the eval side is SMALL by definition (benchmarks), so
+    its band table and texts are BROADCAST; the corpus is banded by the
+    same narrow kernel and probes the broadcast buckets — bipartite,
+    never a self-join, no intra-bucket pair explosion, no hot-bucket
+    policy needed (operators/text_ops.cross_corpus_near_dups).  Oracle:
+    golden witness from the single-process twin
+    (scripts/gen_witness.py)."""
+    from ocr_pipeline_spark.operators.text_ops import cross_corpus_near_dups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("ref_id"), F.col("text").alias("ref_text")
+    )
+    first8 = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))
+    injected = (
+        d.withColumn("_pick", ((F.col("doc_id") % 6) * 97).cast("long"))
+        .join(F.broadcast(ev), F.col("_pick") == F.col("ref_id"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 89 == 0)
+                & (F.col("doc_id") % 97 != 0)
+                & F.col("ref_text").isNotNull(),
+                F.concat(F.col("ref_text"), F.lit(" "), first8),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    corpus = injected.filter(F.col("doc_id") % 97 != 0)
+    return cross_corpus_near_dups(
+        corpus, ev.select("ref_id", F.col("ref_text").alias("text")),
+        corpus_id="doc_id", ref_id="ref_id", threshold=0.5,
+    ).orderBy("doc_id", "ref_id")
+
+
 def _q_jaccard_pairs_host(spark, sf_dir):
     """Exact within-host char-3-gram Jaccard pairs (blocked dedup),
     integer-exact output so the DuckDB oracle hash-matches."""
@@ -3359,6 +3406,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round (green CORRECTNESS_r04 rows, except the three
         # set-op demos displaced by the new extraction-family queries);
         # green under the identical compare in tests/test_entry_contract.py
+        # (fuzzy_decontamination is new in round 5 — witness-oracled,
+        # placed here because the window's 50 slots are allocated to the
+        # extraction family + first-ever driver evaluations)
+        "fuzzy_decontamination": _q_fuzzy_decontamination,
         "custkey_intersect": _q_custkey_intersect,
         "custkey_except": _q_custkey_except,
         "custs_no_big_orders": _q_custs_no_big_orders,
@@ -4501,6 +4552,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, jaccard
             FROM read_parquet('{_WITNESS_DIR}/near_dup_verified.parquet')
             ORDER BY id_a, id_b
+        """,
+        "fuzzy_decontamination": f"""
+            SELECT doc_id, ref_id, jaccard
+            FROM read_parquet('{_WITNESS_DIR}/fuzzy_decontamination.parquet')
+            ORDER BY doc_id, ref_id
         """,
         "media_features": f"""
             SELECT media_id, format, width, height, feature_mass

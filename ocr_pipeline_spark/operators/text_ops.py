@@ -383,6 +383,35 @@ def intra_bucket_pairs(
     ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
 
 
+def _band_table(
+    df: DataFrame, id_col: str, sig_col: str = "minhash"
+) -> DataFrame:
+    """(id, band, band_hash) — one row per LSH band of each signature.
+    Band hash = xxhash64 over the band's signature rows (JVM, codegen);
+    shared by the self-join path (lsh_candidate_pairs) and the
+    bipartite path (cross_corpus_near_dups) so both bucket identically."""
+    rows_per_band = _N_PERM // _N_BANDS
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(sig_col)[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -402,26 +431,7 @@ def lsh_candidate_pairs(
     boilerplate to drop).  Output: (id_a, id_b) with id_a < id_b,
     distinct.
     """
-    rows_per_band = _N_PERM // _N_BANDS
-    banded = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(sig_col)[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = _band_table(df, id_col, sig_col)
     grouped = banded.groupBy("band", "band_hash").agg(
         F.collect_list(id_col).alias("ids")
     )
@@ -864,5 +874,78 @@ def verified_near_dups(
 
     scored = hydrated.mapInPandas(
         verify, schema="id_a long, id_b long, jaccard double"
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def cross_corpus_near_dups(
+    corpus: DataFrame,
+    ref: DataFrame,
+    corpus_id: str = "doc_id",
+    ref_id: str = "ref_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Fuzzy decontamination: corpus documents that are NEAR-duplicates
+    of a (small) reference/eval set — the near-dup analog of the exact
+    n-gram contamination check, and the standard benchmark-hygiene pass
+    before training (paraphrased or lightly-edited eval leaks survive
+    exact-gram checks; they do not survive MinHash at a Jaccard bar).
+
+    Bipartite, never a self-join: both sides are banded identically
+    (`_band_table`), the ref side's band table is BROADCAST (benchmarks
+    are thousands of docs, the corpus is the 10^12 side), and
+    candidates come from the broadcast equi-join on (band, band_hash) —
+    each corpus row meets only the ref rows sharing a band, so there is
+    no intra-bucket pair explosion and no hot-bucket policy needed.
+    Candidates are then verified with exact char-n-gram Jaccard in one
+    Arrow kernel over the hydrated pair texts.
+
+    Output: (corpus_id, ref_id, jaccard) for verified pairs at
+    >= threshold, jaccard rounded to 4 dp (same contract as
+    verified_near_dups).
+    """
+    base_c = corpus.select(
+        F.col(corpus_id).cast("long").alias("_cid"), F.col(text_col)
+    )
+    base_r = ref.select(
+        F.col(ref_id).cast("long").alias("_rid"), F.col(text_col)
+    )
+    sig_c = base_c.mapInPandas(
+        minhash_kernel(text_col),
+        schema=f"_cid long, {text_col} string, minhash array<bigint>",
+    )
+    sig_r = base_r.mapInPandas(
+        minhash_kernel(text_col),
+        schema=f"_rid long, {text_col} string, minhash array<bigint>",
+    )
+    cand = (
+        _band_table(sig_c, "_cid")
+        .join(F.broadcast(_band_table(sig_r, "_rid")), ["band", "band_hash"])
+        .select("_cid", "_rid")
+        .distinct()
+    )
+    hydrated = cand.join(
+        base_c.select("_cid", F.col(text_col).alias("_text_a")), "_cid"
+    ).join(
+        F.broadcast(base_r.select("_rid", F.col(text_col).alias("_text_b"))),
+        "_rid",
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["_cid"],
+                    "ref_id": pdf["_rid"],
+                    "jaccard": [
+                        round(ngram_jaccard(x or "", y or ""), 4)
+                        for x, y in zip(pdf["_text_a"], pdf["_text_b"])
+                    ],
+                }
+            )
+
+    scored = hydrated.mapInPandas(
+        verify, schema="doc_id long, ref_id long, jaccard double"
     )
     return scored.filter(F.col("jaccard") >= threshold)

@@ -627,6 +627,55 @@ def witness_warc_records() -> pd.DataFrame:
     )
 
 
+def witness_fuzzy_decontamination() -> pd.DataFrame:
+    """Twin of _q_fuzzy_decontamination: deterministic eval-leak
+    injection, bipartite minhash banding (raw band tuples — the Spark
+    side buckets by xxhash64 of the same tuples), char-3-gram Jaccard
+    verify at 0.5; columns (doc_id, ref_id, jaccard)."""
+    from ocr_pipeline_spark.operators.text_ops import (
+        _N_BANDS,
+        _N_PERM,
+        minhash_signature,
+        ngram_jaccard,
+    )
+
+    docs = _docs_texts()
+    texts = {int(d): (t or "") for d, t in zip(docs.doc_id, docs.text)}
+    ev = {i: t for i, t in texts.items() if i % 97 == 0}
+    corpus = {}
+    for i, t in texts.items():
+        if i % 97 == 0:
+            continue
+        pick = (i % 6) * 97
+        if i % 89 == 0 and pick in ev:
+            t = ev[pick] + " " + " ".join(t.split(" ")[:8])
+        corpus[i] = t
+    rows_per_band = _N_PERM // _N_BANDS
+
+    def bands(sig):
+        return {
+            (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            for b in range(_N_BANDS)
+        }
+
+    ev_bands: dict[tuple, set[int]] = {}
+    for rid, t in ev.items():
+        for key in bands(minhash_signature(t)):
+            ev_bands.setdefault(key, set()).add(rid)
+    out = []
+    for cid, t in sorted(corpus.items()):
+        hit = set()
+        for key in bands(minhash_signature(t)):
+            hit |= ev_bands.get(key, set())
+        for rid in sorted(hit):
+            j = round(ngram_jaccard(t, ev[rid]), 4)
+            if j >= 0.5:
+                out.append({"doc_id": cid, "ref_id": rid, "jaccard": j})
+    return pd.DataFrame(
+        out, columns=["doc_id", "ref_id", "jaccard"]
+    ).sort_values(["doc_id", "ref_id"]).reset_index(drop=True)
+
+
 def witness_page_metadata() -> pd.DataFrame:
     """Twin of _q_page_metadata at sf0.01: documents -> head-enriched
     pages (wrap_document_with_head) -> kernel/metadata.page_metadata;
@@ -665,6 +714,7 @@ WITNESSES = {
     "bpe_merges": witness_bpe_merges,
     "bpe_encode_stats": witness_bpe_encode_stats,
     "page_metadata": witness_page_metadata,
+    "fuzzy_decontamination": witness_fuzzy_decontamination,
 }
 
 

@@ -81,6 +81,37 @@ def test_lsh_finds_planted_near_duplicates(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_cross_corpus_near_dups_bipartite(spark):
+    """X60: planted eval leaks are flagged against the ref set, clean
+    docs are not, and ref-vs-ref pairs never appear (bipartite — the
+    corpus is not self-joined)."""
+    from ocr_pipeline_spark.operators.text_ops import cross_corpus_near_dups
+
+    eval_text = " ".join(f"e{i}" for i in range(200))
+    other_eval = " ".join(f"f{i}" for i in range(200))
+    corpus = spark.createDataFrame(
+        [
+            (10, eval_text + " small edit tail"),      # leaked, perturbed
+            (11, " ".join(f"c{i}" for i in range(200))),  # clean
+            (12, other_eval),                            # exact leak
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(0, eval_text), (1, other_eval)], "ref_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.ref_id): r.jaccard
+        for r in cross_corpus_near_dups(
+            corpus, ref, threshold=0.5
+        ).collect()
+    }
+    assert (10, 0) in got and got[(10, 0)] < 1.0
+    assert got[(12, 1)] == 1.0
+    assert all(d != 11 for d, _ in got)
+    assert all(d in (10, 11, 12) for d, _ in got)  # never ref-vs-ref
+
+
 # --- ANN ----------------------------------------------------------------------
 @pytest.fixture(scope="module")
 def emb(spark):

@@ -403,3 +403,18 @@ def test_text_normalize_is_map_only(spark):
     assert "hashpartitioning" not in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
     assert "MapInPandas" in plan, plan[:2000]
+
+
+def test_fuzzy_decontamination_broadcast_bipartite(spark):
+    """fuzzy_decontamination (X60): the eval side (band table + texts)
+    is BROADCAST and the corpus is never self-joined — candidates come
+    from broadcast hash joins only; no intra-bucket pair expansion, no
+    cartesian, and the only hash exchange is the candidate distinct."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["fuzzy_decontamination"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # no collect_list bucket grouping (that's the self-join path)
+    assert "collect_list" not in plan, plan[:2000]
