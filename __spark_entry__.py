@@ -1433,6 +1433,39 @@ def _q_fuzzy_decontamination(spark, sf_dir):
     ).orderBy("doc_id", "ref_id")
 
 
+def _q_wet_export(spark, sf_dir):
+    """X61: WET export — the extracted text re-packed as WARC
+    'conversion' records (Common Crawl's WET layout: per-record gzip
+    members, text/plain payloads), sharded content-addressed
+    (md5(url) -> shard, so shard membership never depends on
+    partitioning or parallelism), records url-sorted within a shard and
+    gzip mtime pinned, so every shard's container bytes — and md5 — are
+    deterministic.  Together with the WARC reader (X44) this closes the
+    crawl container loop: WARC in, extraction, WET out.
+
+    Scale shape: extraction is the usual map-only kernel; the only
+    shuffle is the shard groupBy (a shard is one WET *file* — n_shards
+    grows with the corpus, each group stays file-sized); the blob never
+    leaves the executor, only (md5, sizes) do.  Oracle: golden witness
+    from the single-process twin (scripts/gen_witness.py), which
+    re-derives the container bytes from the kernel loop with no Spark
+    and no shared shard state."""
+    from ocr_pipeline_spark.fixtures.gen_pages import documents_as_pages_df
+    from ocr_pipeline_spark.plans.job import run_extraction
+    from ocr_pipeline_spark.sources.warc import wet_export_df
+
+    pages = documents_as_pages_df(_t(spark, sf_dir, "documents"))
+    out = run_extraction(spark, pages, describe=True, co_locate_hosts=False)
+    extracted = out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "wet_date"
+        ),
+        F.col("markdown").alias("text"),
+    )
+    return wet_export_df(extracted, n_shards=8).orderBy("shard")
+
+
 def _q_jaccard_pairs_host(spark, sf_dir):
     """Exact within-host char-3-gram Jaccard pairs (blocked dedup),
     integer-exact output so the DuckDB oracle hash-matches."""
@@ -3410,6 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # placed here because the window's 50 slots are allocated to the
         # extraction family + first-ever driver evaluations)
         "fuzzy_decontamination": _q_fuzzy_decontamination,
+        "wet_export": _q_wet_export,
         "custkey_intersect": _q_custkey_intersect,
         "custkey_except": _q_custkey_except,
         "custs_no_big_orders": _q_custs_no_big_orders,
@@ -4557,6 +4591,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ref_id, jaccard
             FROM read_parquet('{_WITNESS_DIR}/fuzzy_decontamination.parquet')
             ORDER BY doc_id, ref_id
+        """,
+        "wet_export": f"""
+            SELECT shard, n_records, n_bytes, wet_md5
+            FROM read_parquet('{_WITNESS_DIR}/wet_export.parquet')
+            ORDER BY shard
         """,
         "media_features": f"""
             SELECT media_id, format, width, height, feature_mass

@@ -201,6 +201,9 @@ def main() -> None:
             "ann_ivf_recall", "embedding_near_dup_lsh_recall",
             "pagerank_step", "cdx_index", "corpus_curation",
             "frontier_schedule", "doc_embed_semdedup",
+            # new in round 5 (late)
+            "page_metadata", "extract_fidelity", "text_normalize",
+            "fuzzy_decontamination", "wet_export",
         ]
         qs = entry_mod.queries()
         # reference times from the last clean same-sf campaign (committed

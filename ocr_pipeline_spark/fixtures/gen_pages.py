@@ -373,11 +373,18 @@ def wrap_document_as_page(doc_id: int, text: str, lang: str, source: str) -> dic
     html = _chrome_wrap(rng, body)
     return {
         "url": f"https://{source}.example.com/docs/{doc_id}",
-        "warc_ts": _EPOCH + timedelta(seconds=int(doc_id) * 53),
+        "warc_ts": page_ts(doc_id),
         "html": html.encode("utf-8"),
         "text": text,
         "lang": lang,
     }
+
+
+def page_ts(doc_id: int) -> datetime:
+    """The deterministic warc_ts of a wrapped `documents` row — one
+    definition shared by the page wrappers, the WET exporter kernel and
+    every witness twin, so a timestamp drift cannot split them."""
+    return _EPOCH + timedelta(seconds=int(doc_id) * 53)
 
 
 _LD_TYPES = ("Article", "NewsArticle", "BlogPosting")
@@ -435,7 +442,7 @@ def wrap_document_with_head(doc_id: int, text: str, lang: str, source: str) -> d
     )
     return {
         "url": url,
-        "warc_ts": _EPOCH + timedelta(seconds=int(doc_id) * 53),
+        "warc_ts": page_ts(doc_id),
         "html": html.encode("utf-8"),
         "text": text,
         "lang": lang,

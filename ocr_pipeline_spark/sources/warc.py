@@ -35,6 +35,7 @@ __all__ = [
     "parse_warc",
     "split_http_response",
     "warc_pages_df",
+    "wet_export_df",
 ]
 
 # per-record payload cap: a lying Content-Length (or a gzip bomb) stops
@@ -300,4 +301,66 @@ def documents_as_warc_df(
         .withColumn("warc_id", F.expr(f"doc_id div {group_size}"))
         .groupBy("warc_id")
         .applyInPandas(make_blob, schema="warc_id long, warc binary")
+    )
+
+
+WET_SHARD_DDL = "shard int, n_records long, n_bytes long, wet_md5 string"
+
+
+def wet_export_df(extracted, n_shards: int = 8):
+    """Extracted text -> WET-style shard files: WARC 'conversion'
+    records (text/plain payload per url, WARC-Target-URI + WARC-Date
+    headers), one gzip member per record — the Common Crawl WET layout,
+    written with the same `build_warc` the reader tests round-trip.
+
+    Input columns: (url, wet_date, text) — the caller renders the date
+    string (`date_format(warc_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")`) so this
+    stays agnostic of session-timezone handling.  Sharding is
+    content-addressed (first md5 hex digit of url -> shard), so shard
+    membership is independent of partitioning and parallelism; records
+    are sorted by url INSIDE the shard and gzip mtime is pinned, so the
+    container bytes — and therefore each shard's md5 — are
+    deterministic.  Output: one row per shard
+    (shard, n_records, n_bytes, wet_md5).
+
+    Scale shape: the only shuffle is the shard groupBy (in production a
+    shard is one WET *file*, so n_shards grows with the corpus and each
+    group stays ~1 GiB); the blob never leaves the executor — only the
+    md5 and sizes do.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def make_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url")
+        recs = [
+            {
+                "rec_type": "conversion",
+                "url": u,
+                "date": d,
+                "payload": (t or "").encode("utf-8"),
+            }
+            for u, d, t in zip(pdf["url"], pdf["wet_date"], pdf["text"])
+        ]
+        blob = build_warc(recs, per_record_gzip=True)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_records": [len(recs)],
+                "n_bytes": [len(blob)],
+                "wet_md5": [hashlib.md5(blob).hexdigest()],
+            }
+        )
+
+    shard = (
+        F.expr("conv(substring(md5(url), 1, 1), 16, 10)").cast("int")
+        % n_shards
+    )
+    return (
+        extracted.select("url", "wet_date", "text")
+        .withColumn("shard", shard)
+        .groupBy("shard")
+        .applyInPandas(make_shard, schema=WET_SHARD_DDL)
     )

@@ -676,6 +676,51 @@ def witness_fuzzy_decontamination() -> pd.DataFrame:
     ).sort_values(["doc_id", "ref_id"]).reset_index(drop=True)
 
 
+def witness_wet_export() -> pd.DataFrame:
+    """Twin of _q_wet_export: single-process kernel extraction ->
+    WARC 'conversion' records -> per-record-gzip container per
+    content-addressed shard (first md5 hex digit of url % 8), records
+    url-sorted; columns (shard, n_records, n_bytes, wet_md5)."""
+    import hashlib
+
+    from ocr_pipeline_spark.fixtures.gen_pages import (
+        page_ts,
+        wrap_document_as_page,
+    )
+    from ocr_pipeline_spark.sources.warc import build_warc
+
+    docs = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    shards: dict[int, list[dict]] = {}
+    for d, t, l, s in zip(docs.doc_id, docs.text, docs.lang, docs.source):
+        p = wrap_document_as_page(int(d), t, l, s)
+        r = extract_page(p["html"], page_num_from_url(p["url"]), describe=True)
+        shard = int(hashlib.md5(p["url"].encode()).hexdigest()[0], 16) % 8
+        shards.setdefault(shard, []).append(
+            {
+                "rec_type": "conversion",
+                "url": p["url"],
+                "date": page_ts(int(d)).strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "payload": r.markdown.encode("utf-8"),
+            }
+        )
+    rows = []
+    for shard, recs in sorted(shards.items()):
+        recs.sort(key=lambda r: r["url"])
+        blob = build_warc(recs, per_record_gzip=True)
+        rows.append(
+            {
+                "shard": shard,
+                "n_records": len(recs),
+                "n_bytes": len(blob),
+                "wet_md5": hashlib.md5(blob).hexdigest(),
+            }
+        )
+    return pd.DataFrame(rows).astype({"shard": "int32"}).reset_index(drop=True)
+
+
 def witness_page_metadata() -> pd.DataFrame:
     """Twin of _q_page_metadata at sf0.01: documents -> head-enriched
     pages (wrap_document_with_head) -> kernel/metadata.page_metadata;
@@ -715,6 +760,7 @@ WITNESSES = {
     "bpe_encode_stats": witness_bpe_encode_stats,
     "page_metadata": witness_page_metadata,
     "fuzzy_decontamination": witness_fuzzy_decontamination,
+    "wet_export": witness_wet_export,
 }
 
 

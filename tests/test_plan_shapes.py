@@ -418,3 +418,15 @@ def test_fuzzy_decontamination_broadcast_bipartite(spark):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     # no collect_list bucket grouping (that's the self-join path)
     assert "collect_list" not in plan, plan[:2000]
+
+
+def test_wet_export_single_shard_shuffle(spark):
+    """wet_export (X61): extraction map-only, then exactly ONE hash
+    exchange (the content-addressed shard groupBy) before the
+    grouped-map container build; no join anywhere."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["wet_export"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]

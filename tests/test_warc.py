@@ -159,3 +159,53 @@ def test_near_cap_payload_parses_in_both_layouts():
     big = dict(rec, payload=b"x" * (MAX_RECORD_BYTES + 1))
     assert parse_warc(build_warc([big])) == []
     assert parse_warc(build_warc([big], per_record_gzip=True)) == []
+
+
+def test_wet_export_deterministic_and_round_trips(spark):
+    """X61: the WET exporter's shard md5s are partition-invariant
+    (content-addressed shards, url-sorted records, pinned gzip mtime),
+    and the container parses back to the exact (url, payload) set with
+    rec_type 'conversion'."""
+    import hashlib
+
+    from ocr_pipeline_spark.sources.warc import (
+        build_warc,
+        parse_warc,
+        wet_export_df,
+    )
+
+    rows = [
+        (f"https://s{i % 3}.example.com/d/{i}",
+         "2024-01-01T00:00:00Z",
+         f"extracted text {i} " * 5)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "url string, wet_date string, text string")
+    one = wet_export_df(df.repartition(1), n_shards=4).collect()
+    many = wet_export_df(df.repartition(13), n_shards=4).collect()
+    key = lambda r: (r.shard, r.n_records, r.n_bytes, r.wet_md5)  # noqa: E731
+    assert sorted(map(key, one)) == sorted(map(key, many))
+    assert sum(r.n_records for r in one) == 40
+
+    # twin build of shard 0 in-process: md5 equality proves the Spark
+    # path wrote byte-identical container bytes; then parse them back
+    shard0 = sorted(
+        (u, d, t) for u, d, t in rows
+        if int(hashlib.md5(u.encode()).hexdigest()[0], 16) % 4 == 0
+    )
+    blob = build_warc(
+        [
+            {"rec_type": "conversion", "url": u, "date": d,
+             "payload": t.encode("utf-8")}
+            for u, d, t in shard0
+        ],
+        per_record_gzip=True,
+    )
+    spark_shard0 = next(r for r in one if r.shard == 0)
+    assert spark_shard0.wet_md5 == hashlib.md5(blob).hexdigest()
+    assert spark_shard0.n_bytes == len(blob)
+    parsed = parse_warc(blob)
+    assert [(p["url"], p["payload"]) for p in parsed] == [
+        (u, t.encode("utf-8")) for u, _, t in shard0
+    ]
+    assert all(p["rec_type"] == "conversion" for p in parsed)
