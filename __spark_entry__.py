@@ -1456,11 +1456,28 @@ def _q_wet_export(spark, sf_dir):
 
     pages = documents_as_pages_df(_t(spark, sf_dir, "documents"))
     out = run_extraction(spark, pages, describe=True, co_locate_hosts=False)
+
+    # WARC-Date from the SAME naive-datetime arithmetic the witness
+    # uses (page_ts + strftime): a Spark-timestamp round trip through
+    # date_format would render in the session timezone, and a DST-gap
+    # wall time (reachable at doc_id ≳ 113k under a DST zone) would
+    # shift — splitting the shard md5s from the witness.  Pure Python
+    # on the url-embedded doc_id is timezone-free by construction.
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _wet_date(urls):
+        from ocr_pipeline_spark.fixtures.gen_pages import page_ts
+
+        return urls.map(
+            lambda u: page_ts(int(u.rsplit("/", 1)[1])).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            )
+        )
+
     extracted = out.select(
         "url",
-        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
-            "wet_date"
-        ),
+        _wet_date(F.col("url")).alias("wet_date"),
         F.col("markdown").alias("text"),
     )
     return wet_export_df(extracted, n_shards=8).orderBy("shard")

@@ -372,12 +372,21 @@ def wrap_document_as_page(doc_id: int, text: str, lang: str, source: str) -> dic
     body = f"<h1>Document {doc_id}</h1>" + "".join(f"<p>{p}.</p>" for p in paras)
     html = _chrome_wrap(rng, body)
     return {
-        "url": f"https://{source}.example.com/docs/{doc_id}",
+        "url": doc_url(doc_id, source),
         "warc_ts": page_ts(doc_id),
         "html": html.encode("utf-8"),
         "text": text,
         "lang": lang,
     }
+
+
+def doc_url(doc_id: int, source: str) -> str:
+    """Canonical url of a wrapped `documents` row — one definition
+    shared by the page wrappers and the witness twins; the Spark/SQL
+    sides of extract_fidelity reconstruct it as a string expression,
+    and tests/test_metadata.py pins the expression against this
+    function so a template drift cannot silently zero the metric."""
+    return f"https://{source}.example.com/docs/{doc_id}"
 
 
 def page_ts(doc_id: int) -> datetime:
@@ -406,7 +415,7 @@ def wrap_document_with_head(doc_id: int, text: str, lang: str, source: str) -> d
     title_html = escape(title_words)
     if doc_id % 5 == 0:
         title_html += " &amp; more"  # kernel must decode -> "& more"
-    canonical = f"https://{source}.example.com/docs/{doc_id}"
+    canonical = doc_url(doc_id, source)
     url = canonical + "?utm_source=feed&ref=rss"
     desc = (
         ""

@@ -243,7 +243,7 @@ _RAW_TEXT = ("script", "style", "textarea", "title")
 # opts in (kernel/metadata.py): the extraction hot path never reads
 # them, so by default they cost zero attr-parse work — same opt-in
 # pattern as `hrefs` for kernel/links.py
-_META_TAGS = frozenset({"meta", "link", "script", "base"})
+_META_TAGS = frozenset({"meta", "link", "script"})
 
 # container ids that mark the main-content root (Readability-style);
 # shared with blocks.select_main_root so the parse-time hint tracking

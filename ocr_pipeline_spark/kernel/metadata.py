@@ -89,15 +89,18 @@ def page_metadata(html: bytes | str) -> dict:
         root = parse_html(html, metadata=True)
     except Exception:
         return out
+    title_seen = False
     for node in root.find_all("title", "meta", "link", "script"):
         tag = node.tag
         if tag == "title":
-            if not out["title"]:
+            if not title_seen:
+                title_seen = True
                 # raw-text content is stored literally by the fast
-                # tokenizer -> unescape exactly once here
-                t = _norm(unescape(node.text(" ")))
-                if t:
-                    out["title"] = t
+                # tokenizer -> unescape exactly once here; the FIRST
+                # title element wins even when empty (document.title
+                # semantics), so an empty head title is never
+                # overridden by a later spam title in the body
+                out["title"] = _norm(unescape(node.text(" ")))
         elif tag == "meta":
             content = node.attr("content")
             if not content:

@@ -120,12 +120,18 @@ def normalize_text(text: str) -> str:
 def normalize_kernel(text_col: str = "text", out_col: str = "norm"):
     """mapInPandas kernel factory: adds the NFC-normalized column.
     Arrow-batched — NFC has no JVM built-in, so this is the sanctioned
-    Python boundary (same policy tier as lang_id_kernel)."""
+    Python boundary (same policy tier as lang_id_kernel).  NULL text
+    stays NULL (SQL semantics — the DuckDB oracle's nfc_normalize /
+    md5 propagate NULL, so the kernel must too; normalize_text's
+    None -> "" total contract is for direct Python callers)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [normalize_text(t) for t in pdf[text_col]]
+            pdf[out_col] = [
+                None if t is None else normalize_text(t)
+                for t in pdf[text_col]
+            ]
             yield pdf
 
     return kernel
@@ -936,8 +942,8 @@ def cross_corpus_near_dups(
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["_cid"],
-                    "ref_id": pdf["_rid"],
+                    corpus_id: pdf["_cid"],
+                    ref_id: pdf["_rid"],
                     "jaccard": [
                         round(ngram_jaccard(x or "", y or ""), 4)
                         for x, y in zip(pdf["_text_a"], pdf["_text_b"])
@@ -946,6 +952,6 @@ def cross_corpus_near_dups(
             )
 
     scored = hydrated.mapInPandas(
-        verify, schema="doc_id long, ref_id long, jaccard double"
+        verify, schema=f"{corpus_id} long, {ref_id} long, jaccard double"
     )
     return scored.filter(F.col("jaccard") >= threshold)

@@ -300,3 +300,18 @@ def test_driver_window_allocation():
     }
     missing = must_have - window
     assert not missing, f"flagships evicted from driver window: {missing}"
+
+
+def test_extract_fidelity_nonvacuous(spark):
+    """Guard against the silent-zero failure mode: if the url template
+    reconstruction ever drifted from the wrapper's doc_url, every join
+    would go NULL -> fillna(0) and the metric would be all-zero on BOTH
+    sides while the oracle compare stayed green.  Require real overlap:
+    the extraction keeps the document's own words, so recall must be
+    high for essentially every doc."""
+    rows = entry_mod._q_extract_fidelity(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    nonzero = sum(1 for r in rows if r.n_common > 0)
+    assert nonzero == 500, f"only {nonzero}/500 docs overlap"
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall > 0.9, mean_recall

@@ -177,3 +177,23 @@ def test_normalize_total_and_idempotent():
     assert normalize_text(None) == ""
     s = "Cafe\u0301 \x07 mixed \u0308"
     assert normalize_text(normalize_text(s)) == normalize_text(s)
+
+
+def test_empty_first_title_wins():
+    """document.title semantics: the FIRST title element wins even when
+    empty — a later spam title in the body must not take over."""
+    html = "<head><title></title></head><body><title>spam</title></body>"
+    assert page_metadata(html)["title"] == ""
+    html2 = "<head><title>  </title><title>second</title></head>"
+    assert page_metadata(html2)["title"] == ""
+
+
+def test_doc_url_matches_query_reconstruction():
+    """extract_fidelity (Spark + oracle SQL) reconstructs the document
+    url as 'https://' || source || '.example.com/docs/' || doc_id; pin
+    that template against the fixture's single definition so a drift
+    cannot silently zero the fidelity metric's joins."""
+    from ocr_pipeline_spark.fixtures.gen_pages import doc_url
+
+    for did, src in ((0, "src1"), (499, "web7")):
+        assert doc_url(did, src) == f"https://{src}.example.com/docs/{did}"
