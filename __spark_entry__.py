@@ -2429,6 +2429,111 @@ def _q_cdx_index(spark, sf_dir):
     )
 
 
+def _q_url_canonical_dedup(spark, sf_dir):
+    """X63: URL canonicalization + latest-capture retention — the
+    url-level dedup every recrawl pipeline runs BEFORE content dedup
+    (public analog: the crawler-commons / CC-index canonicalization
+    rules): lowercase scheme+host, strip the fragment and default
+    ports (:80/:443), drop tracking parameters (utm_*, fbclid,
+    gclid), sort the surviving query parameters — then keep only the
+    NEWEST capture of each canonical url.  The canonicalizer operates
+    on the raw url STRING (the operator's contract), not on the parts
+    the fixture happened to synthesize; captures are synthesized with
+    six deterministic noise variants (case/port/tracking/fragment/
+    param-order) so every rule is exercised and provably collapses.
+
+    Scale shape: pure narrow JVM string/array expressions (split /
+    filter-HOF / array_sort / substring_index) — zero Python, zero
+    joins, whole-stage codegen end to end — then ONE hash exchange
+    (the canon-url groupBy, near-unique keys, partial max(struct)
+    collapses same-url captures map-side).  At 10^12 captures this is
+    the cheapest possible retention pass: one shuffle of (url, ts)
+    pairs, text never moves."""
+    d = _t(spark, sf_dir, "documents")
+    gid = (F.col("doc_id") % 50).cast("string")
+    base = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/page/"), gid
+    )
+    v = (F.col("doc_id") % 6).cast("int")
+    raw = (
+        F.when(v == 0, base)
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://"),
+                F.upper("source"),
+                F.lit(".EXAMPLE.COM:443/page/"),
+                gid,
+            ),
+        )
+        .when(v == 2, F.concat(base, F.lit("?utm_source=x&utm_campaign=y")))
+        .when(v == 3, F.concat(base, F.lit("#section-2")))
+        .when(v == 4, F.concat(base, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(base, F.lit("?a=1&fbclid=zzz&b=2")))
+    )
+    caps = d.select(
+        "doc_id",
+        (F.lit(20260300000000) + F.col("doc_id")).alias("ts"),
+        raw.alias("url"),
+    )
+    nofrag = F.substring_index("url", "#", 1)
+    caps = caps.select(
+        "doc_id",
+        "ts",
+        F.lower(F.regexp_extract(nofrag, r"^([^:]+)://", 1)).alias("scheme"),
+        F.regexp_replace(nofrag, r"^[^:]+://", "").alias("rest"),
+    )
+    hostport = F.regexp_extract("rest", r"^([^/]+)", 1)
+    caps = caps.select(
+        "doc_id",
+        "ts",
+        "scheme",
+        F.regexp_replace(F.lower(hostport), r":(443|80)$", "").alias("host"),
+        F.col("rest").substr(F.length(hostport) + 1, F.lit(1 << 20)).alias(
+            "pathquery"
+        ),
+    )
+    query = F.when(
+        F.col("pathquery").contains("?"),
+        F.regexp_replace("pathquery", r"^[^?]*\?", ""),
+    )
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: ~x.rlike("^(utm_[^=]*|fbclid|gclid)="),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        "scheme",
+        F.lit("://"),
+        "host",
+        F.when(F.col("pathquery") == "", F.lit("/")).otherwise(
+            F.substring_index("pathquery", "?", 1)
+        ),
+        F.when(cq.isNull() | (cq == ""), F.lit("")).otherwise(
+            F.concat(F.lit("?"), cq)
+        ),
+    )
+    return (
+        caps.select("doc_id", "ts", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.max(F.struct("ts", "doc_id")).alias("latest"),
+        )
+        .select(
+            "canon_url",
+            "n_captures",
+            F.col("latest.ts").alias("latest_ts"),
+            F.col("latest.doc_id").alias("latest_doc_id"),
+        )
+        .orderBy("canon_url")
+    )
+
+
 def _q_corpus_curation(spark, sf_dir):
     """X55: the flagship curation COMPOSITION in one Catalyst plan —
     hygiene filter -> exact dedup (keep lowest doc_id per content
@@ -3048,6 +3153,54 @@ def _q_dup_components_host(spark, sf_dir):
     )
 
 
+def _q_dedup_soft_weights(spark, sf_dir):
+    """Soft deduplication (X62): instead of DROPPING near-duplicates,
+    every document keeps a training weight 1/|cluster| so each near-dup
+    cluster contributes exactly one document's worth of sampling mass —
+    the duplicate-reweighting retention policy modern curation pipelines
+    use when hard dedup would discard rare in-cluster variation (public
+    analog: DataComp-LM's soft dedup option; Nemotron-CC keeps
+    duplicates with scaled counts).  Edges are the oracled within-host
+    Jaccard pairs, clusters are min-label components, and unimplicated
+    docs weigh 1.0.  The weight is one IEEE division of two exact
+    integers, so the DuckDB twin agrees to the compare's 6-sig-fig
+    normalization with no rounding games.
+
+    Scale shape: cluster sizing is a partial-aggregated count over the
+    (id, component) labels — O(docs-in-clusters) rows, never text —
+    joined back to the label table and LEFT-joined to the corpus on its
+    id; the documents themselves never reshuffle.  At 10^12 docs the
+    added cost over component-finding is two keyed exchanges of long
+    pairs."""
+    from ocr_pipeline_spark.operators.components import connected_components
+    from ocr_pipeline_spark.operators.text_ops import blocked_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = blocked_jaccard_pairs(
+        d, "doc_id", "text", "source", threshold_num=3, threshold_den=5
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    labeled = comp.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"), "cluster_size"
+    )
+    return (
+        d.select("doc_id")
+        .join(labeled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+            (
+                F.lit(1.0)
+                / F.coalesce(F.col("cluster_size"), F.lit(1)).cast("double")
+            ).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_lang_pred(spark, sf_dir):
     """Deterministic stopword-vote language ID (Arrow kernel), with an
     exact DuckDB oracle replicating the vote + tie-break in SQL."""
@@ -3475,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "lang_pred": _q_lang_pred,
         "dup_components_host": _q_dup_components_host,
+        "dedup_soft_weights": _q_dedup_soft_weights,
         "filter_funnel": _q_filter_funnel,
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
@@ -3502,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "snapshot_diff": _q_snapshot_diff,
         "cdx_index": _q_cdx_index,
+        "url_canonical_dedup": _q_url_canonical_dedup,
         "corpus_curation": _q_corpus_curation,
         "frontier_schedule": _q_frontier_schedule,
         "doc_embed_semdedup": _q_doc_embed_semdedup,
@@ -4212,6 +4367,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS component
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "dedup_soft_weights": """
+            WITH RECURSIVE grams AS (
+                SELECT doc_id, source,
+                       list(DISTINCT substring(text, i, 3)) AS gs
+                FROM (SELECT doc_id, source, text,
+                             unnest(generate_series(
+                                 1, greatest(length(text) - 2, 1))) AS i
+                      FROM documents)
+                GROUP BY doc_id, source
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM grams a JOIN grams b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE 5 * len(list_intersect(a.gs, b.gs))
+                      >= 3 * (len(a.gs) + len(b.gs)
+                              - len(list_intersect(a.gs, b.gs)))
+            ), e AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(id, r) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+            ), comp AS (
+                SELECT id, min(r) AS comp FROM reach GROUP BY id
+            ), sizes AS (
+                SELECT comp, count(*) AS cluster_size
+                FROM comp GROUP BY comp
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.cluster_size, 1) AS BIGINT)
+                       AS cluster_size,
+                   CAST(1 AS DOUBLE)
+                       / CAST(coalesce(s.cluster_size, 1) AS DOUBLE)
+                       AS weight
+            FROM documents d
+            LEFT JOIN comp c ON c.id = d.doc_id
+            LEFT JOIN sizes s ON s.comp = c.comp
+            ORDER BY d.doc_id
         """,
         "filter_funnel": """
             WITH flagged AS (
@@ -4960,6 +5156,78 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS digest
             FROM d
             ORDER BY surt_key, ts
+        """,
+        "url_canonical_dedup": r"""
+            WITH raw AS (
+                SELECT doc_id, 20260300000000 + doc_id AS ts,
+                       CASE CAST(doc_id % 6 AS INT)
+                         WHEN 0 THEN 'https://' || source
+                              || '.example.com/page/'
+                              || CAST(doc_id % 50 AS VARCHAR)
+                         WHEN 1 THEN 'HTTPS://' || upper(source)
+                              || '.EXAMPLE.COM:443/page/'
+                              || CAST(doc_id % 50 AS VARCHAR)
+                         WHEN 2 THEN 'https://' || source
+                              || '.example.com/page/'
+                              || CAST(doc_id % 50 AS VARCHAR)
+                              || '?utm_source=x&utm_campaign=y'
+                         WHEN 3 THEN 'https://' || source
+                              || '.example.com/page/'
+                              || CAST(doc_id % 50 AS VARCHAR)
+                              || '#section-2'
+                         WHEN 4 THEN 'https://' || source
+                              || '.example.com/page/'
+                              || CAST(doc_id % 50 AS VARCHAR)
+                              || '?b=2&a=1'
+                         ELSE 'https://' || source
+                              || '.example.com/page/'
+                              || CAST(doc_id % 50 AS VARCHAR)
+                              || '?a=1&fbclid=zzz&b=2'
+                       END AS url
+                FROM documents
+            ), comp AS (
+                SELECT doc_id, ts,
+                       lower(regexp_extract(split_part(url, '#', 1),
+                                            '^([^:]+)://', 1)) AS scheme,
+                       regexp_replace(split_part(url, '#', 1),
+                                      '^[^:]+://', '') AS rest
+                FROM raw
+            ), hp AS (
+                SELECT *,
+                       regexp_extract(rest, '^([^/]+)', 1) AS hostport,
+                       substr(rest,
+                              length(regexp_extract(rest, '^([^/]+)', 1))
+                              + 1) AS pathquery
+                FROM comp
+            ), pq AS (
+                SELECT *,
+                       regexp_replace(lower(hostport), ':(443|80)$', '')
+                           AS host,
+                       CASE WHEN contains(pathquery, '?')
+                            THEN regexp_replace(pathquery, '^[^?]*\?', '')
+                            ELSE NULL END AS query
+                FROM hp
+            ), canon AS (
+                SELECT doc_id, ts,
+                       scheme || '://' || host
+                       || (CASE WHEN pathquery = '' THEN '/'
+                                ELSE split_part(pathquery, '?', 1) END)
+                       || (CASE WHEN cq IS NULL OR cq = '' THEN ''
+                                ELSE '?' || cq END) AS canon_url
+                FROM (SELECT *,
+                             array_to_string(list_sort(list_filter(
+                                 str_split(query, '&'),
+                                 x -> NOT regexp_matches(x,
+                                     '^(utm_[^=]*|fbclid|gclid)='))),
+                                 '&') AS cq
+                      FROM pq)
+            )
+            SELECT canon_url, count(*) AS n_captures,
+                   max(ts) AS latest_ts,
+                   arg_max(doc_id, ts) AS latest_doc_id
+            FROM canon
+            GROUP BY canon_url
+            ORDER BY canon_url
         """,
         "frontier_schedule": """
             WITH u AS (

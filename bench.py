@@ -204,6 +204,7 @@ def main() -> None:
             # new in round 5 (late)
             "page_metadata", "extract_fidelity", "text_normalize",
             "fuzzy_decontamination", "wet_export",
+            "dedup_soft_weights", "url_canonical_dedup",
         ]
         qs = entry_mod.queries()
         # reference times from the last clean same-sf campaign (committed

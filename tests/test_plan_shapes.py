@@ -420,6 +420,37 @@ def test_fuzzy_decontamination_broadcast_bipartite(spark):
     assert "collect_list" not in plan, plan[:2000]
 
 
+def test_dedup_soft_weights_aggregate_not_window(spark):
+    """dedup_soft_weights (X62): cluster sizing must be a partial-agg
+    groupBy over the (id, component) labels — never a count() window
+    (no map-side combine, hot-cluster straggler at scale) — and the
+    final corpus attach is a left join on the id, so no Window node
+    appears anywhere in the plan."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["dedup_soft_weights"](spark, SF_DIR))
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "partial_count" in plan or "partial count" in plan.lower(), (
+        plan[:3000]
+    )
+
+
+def test_url_canonical_dedup_jvm_only_single_agg(spark):
+    """url_canonical_dedup (X63): the canonicalizer is pure JVM string/
+    array expressions — no Python eval node of any kind — and the
+    retention is ONE partial-aggregated groupBy (map-side max(struct)
+    collapse), never a Window over raw captures."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["url_canonical_dedup"](spark, SF_DIR))
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:2000]
+    assert "partial_" in plan or "partial " in plan.lower(), plan[:3000]
+
+
 def test_wet_export_single_shard_shuffle(spark):
     """wet_export (X61): extraction map-only, then exactly ONE hash
     exchange (the content-addressed shard groupBy) before the

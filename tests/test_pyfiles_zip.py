@@ -5,6 +5,7 @@ would have ImportError'd on warc/layout/semdedup)."""
 
 import glob
 import os
+import subprocess
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -12,6 +13,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_pyfiles_zip_contains_every_source_module():
     zip_path = os.path.join(REPO, "dist", "ocr_pipeline_spark.zip")
+    if not os.path.exists(zip_path):
+        # dist/ is untracked build output — bootstrap it on a fresh
+        # clone so the suite verifies the BUILD SCRIPT's completeness;
+        # an existing-but-stale zip still fails below (the regression
+        # this test exists for: editing source without rebuilding).
+        subprocess.run(
+            ["bash", os.path.join(REPO, "scripts", "build_pyfiles.sh")],
+            check=True,
+            capture_output=True,
+        )
     assert os.path.exists(zip_path), "run scripts/build_pyfiles.sh"
     missing, stale = [], []
     with zipfile.ZipFile(zip_path) as z:
