@@ -451,6 +451,44 @@ def test_url_canonical_dedup_jvm_only_single_agg(spark):
     assert "partial_" in plan or "partial " in plan.lower(), plan[:3000]
 
 
+def test_host_url_hll_tiny_aggs_no_python(spark):
+    """host_url_hll (X64): the sketch path must be pure JVM — no
+    Python eval node — with partial aggregation on (host, reg) so at
+    most 64 rows per host cross the wire, and no Window/cartesian
+    anywhere (the url strings themselves must never be sorted or
+    windowed)."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["host_url_hll"](spark, SF_DIR))
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:2000]
+    assert "partial_max" in plan or "partial max" in plan.lower(), (
+        plan[:3000]
+    )
+
+
+def test_heavy_hitters_cms_broadcast_sketch(spark):
+    """heavy_hitters_cms (X65): the only corpus-sized shuffle is the
+    token groupBy (partial count map-side); the 1024-cell sketch and
+    the 1-row token-mass total attach via BROADCAST joins, never a
+    shuffled join or a window."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["heavy_hitters_cms"](spark, SF_DIR))
+    assert "Window" not in plan, plan[:2000]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:2000]
+    assert "Broadcast" in plan, plan[:3000]
+    assert "partial_count" in plan or "partial count" in plan.lower(), (
+        plan[:3000]
+    )
+    # the sketch/estimate joins must not shuffle the term table by
+    # (j, bucket): no SortMergeJoin anywhere in this plan
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
 def test_wet_export_single_shard_shuffle(spark):
     """wet_export (X61): extraction map-only, then exactly ONE hash
     exchange (the content-addressed shard groupBy) before the
