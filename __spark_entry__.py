@@ -2664,6 +2664,42 @@ def _q_heavy_hitters_cms(spark, sf_dir):
     )
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """X66: asymmetric containment detection — C(A,B) = |S(A)∩S(B)| /
+    |S(A)| over char-3-gram shingles (Broder 1997's containment, the
+    companion measure to resemblance/Jaccard).  Catches the
+    quote/excerpt/syndication relationships symmetric dedup misses: a
+    200-char snippet verbatim inside a 5000-char page has containment
+    ~1 but Jaccard ~0.04, so a resemblance-only pipeline keeps every
+    excerpt as 'unique'.  Excerpt rows are synthesized deterministically
+    (prefix-200 of every 5th long doc, id offset 1e7) so the operator
+    provably finds planted containments the near-dup family does not.
+
+    Scale shape: identical to the blocked Jaccard operator — ONE
+    shuffle on the host block key, then a single boolean gram-matrix
+    GEMM per block whose diagonal already holds the containment
+    denominators (the asymmetric measure is free); integer-exact
+    output, blocks above max_block skipped (mega-hosts go through the
+    MinHash candidate path first at corpus scale)."""
+    from ocr_pipeline_spark.operators.text_ops import (
+        blocked_containment_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    snippets = d.filter(
+        (F.col("n_chars") >= 400) & (F.col("doc_id") % 5 == 0)
+    ).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        "source",
+        F.substring("text", 1, 200).alias("text"),
+    )
+    corpus = d.select("doc_id", "source", "text").unionByName(snippets)
+    return blocked_containment_pairs(
+        corpus, "doc_id", "text", "source", threshold_num=9,
+        threshold_den=10,
+    ).orderBy("id_contained", "id_container")
+
+
 def _q_corpus_curation(spark, sf_dir):
     """X55: the flagship curation COMPOSITION in one Catalyst plan —
     hygiene filter -> exact dedup (keep lowest doc_id per content
@@ -3789,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "host_url_hll": _q_host_url_hll,
         "heavy_hitters_cms": _q_heavy_hitters_cms,
+        "containment_pairs": _q_containment_pairs,
         "corpus_curation": _q_corpus_curation,
         "frontier_schedule": _q_frontier_schedule,
         "doc_embed_semdedup": _q_doc_embed_semdedup,
@@ -5435,6 +5472,43 @@ def oracle_sql() -> dict[str, str]:
             FROM est, total
             WHERE est_count * 200 >= total
             ORDER BY term
+        """,
+        "containment_pairs": """
+            WITH corpus AS (
+                SELECT doc_id, source, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, source,
+                       substring(text, 1, 200) AS text
+                FROM documents
+                WHERE n_chars >= 400 AND doc_id % 5 = 0
+            ), grams AS (
+                SELECT doc_id, source,
+                       list(DISTINCT substring(text, i, 3)) AS gs
+                FROM (SELECT doc_id, source, text,
+                             unnest(generate_series(
+                                 1, greatest(length(text) - 2, 1))) AS i
+                      FROM corpus)
+                GROUP BY doc_id, source
+            ), pairs AS (
+                SELECT a.doc_id AS ida, b.doc_id AS idb,
+                       len(list_intersect(a.gs, b.gs)) AS n_inter,
+                       len(a.gs) AS sa, len(b.gs) AS sb
+                FROM grams a JOIN grams b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+            ), roles AS (
+                SELECT CASE WHEN sa <= sb THEN ida ELSE idb END
+                           AS id_contained,
+                       CASE WHEN sa <= sb THEN idb ELSE ida END
+                           AS id_container,
+                       n_inter,
+                       CASE WHEN sa <= sb THEN sa ELSE sb END AS n_small,
+                       CASE WHEN sa <= sb THEN sb ELSE sa END AS n_big
+                FROM pairs
+            )
+            SELECT id_contained, id_container, n_inter, n_small, n_big
+            FROM roles
+            WHERE 10 * n_inter >= 9 * n_small
+            ORDER BY id_contained, id_container
         """,
         "frontier_schedule": """
             WITH u AS (

@@ -205,7 +205,7 @@ def main() -> None:
             "page_metadata", "extract_fidelity", "text_normalize",
             "fuzzy_decontamination", "wet_export",
             "dedup_soft_weights", "url_canonical_dedup",
-            "host_url_hll", "heavy_hitters_cms",
+            "host_url_hll", "heavy_hitters_cms", "containment_pairs",
         ]
         qs = entry_mod.queries()
         # reference times from the last clean same-sf campaign (committed

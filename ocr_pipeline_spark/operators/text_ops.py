@@ -836,6 +836,98 @@ def blocked_jaccard_pairs(
     )
 
 
+def blocked_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_col: str = "source",
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    n: int = 3,
+    max_block: int = 512,
+) -> DataFrame:
+    """EXACT char-n-gram CONTAINMENT pairs within a blocking key — the
+    asymmetric companion to blocked_jaccard_pairs.  Containment
+    C(A, B) = |S(A) ∩ S(B)| / |S(A)| (A the smaller gram set) catches
+    the quote/syndication/excerpt relationships symmetric Jaccard
+    misses: a 200-char snippet embedded verbatim in a 5000-char page
+    has C ≈ 1 but J ≈ 0.04 (Broder 1997 defines both; dedup systems
+    that only threshold resemblance keep every excerpt).
+
+    Same execution shape as the Jaccard operator: one shuffle on the
+    block key, then ONE boolean gram-matrix GEMM per block — the
+    containment denominators are just the matrix diagonal, so the
+    asymmetric measure costs nothing extra.  Output is integer-exact
+    (den * n_inter >= num * n_small applied on exact counts) so a SQL
+    oracle hash-matches with no float rounding.  Roles are
+    deterministic: id_contained is the doc with the SMALLER gram set
+    (ties broken by lower id).  Blocks above max_block are skipped —
+    at corpus scale mega-hosts go through the MinHash candidate path
+    first, with this measure applied only to candidate pairs."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_contained": pd.Series([], dtype="int64"),
+             "id_container": pd.Series([], dtype="int64"),
+             "n_inter": pd.Series([], dtype="int64"),
+             "n_small": pd.Series([], dtype="int64"),
+             "n_big": pd.Series([], dtype="int64")}
+        )
+        m = len(pdf)
+        if m < 2 or m > max_block:
+            return empty
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        grams = [
+            {t[i : i + n] for i in range(max(len(t) - n + 1, 0))} or {t}
+            for t in ((x or "") for x in pdf["_text"])
+        ]
+        vocab: dict[str, int] = {}
+        for gs in grams:
+            for g in gs:
+                if g not in vocab:
+                    vocab[g] = len(vocab)
+        M = _np.zeros((m, len(vocab)), dtype=_np.float32)
+        for i, gs in enumerate(grams):
+            M[i, [vocab[g] for g in gs]] = 1.0
+        inter = _np.rint(M @ M.T).astype(_np.int64)
+        sizes = inter.diagonal()
+        ia, ib = _np.triu_indices(m, k=1)
+        n_inter = inter[ia, ib]
+        # containment of the smaller set; ids sorted so on equal sizes
+        # the lower id (ia) is the contained role
+        small_is_a = sizes[ia] <= sizes[ib]
+        n_small = _np.where(small_is_a, sizes[ia], sizes[ib])
+        n_big = _np.where(small_is_a, sizes[ib], sizes[ia])
+        keep = threshold_den * n_inter >= threshold_num * n_small
+        return pd.DataFrame(
+            {
+                "id_contained": _np.where(small_is_a, ids[ia], ids[ib])[
+                    keep
+                ].astype("int64"),
+                "id_container": _np.where(small_is_a, ids[ib], ids[ia])[
+                    keep
+                ].astype("int64"),
+                "n_inter": n_inter[keep],
+                "n_small": n_small[keep],
+                "n_big": n_big[keep],
+            }
+        )
+
+    return base.groupBy("_blk").applyInPandas(
+        per_block,
+        schema=(
+            "id_contained long, id_container long, n_inter long,"
+            " n_small long, n_big long"
+        ),
+    )
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Character n-gram Jaccard similarity (verification of candidates)."""
     ga = {a[i : i + n] for i in range(max(len(a) - n + 1, 0))} or {a}

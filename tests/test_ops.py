@@ -644,6 +644,44 @@ def test_blocked_jaccard_pairs_semantics(spark):
     assert 5 * r12.n_inter >= 3 * r12.n_union  # integer threshold held
 
 
+def test_blocked_containment_pairs_semantics(spark):
+    """Containment finds the excerpt-in-page relation Jaccard misses,
+    assigns roles deterministically (smaller gram set = contained,
+    ties to the lower id), and respects host blocking."""
+    from ocr_pipeline_spark.operators.text_ops import (
+        blocked_containment_pairs,
+        blocked_jaccard_pairs,
+    )
+
+    page = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the windowsill and the birds sing in the garden "
+        "as morning light spreads across the quiet village square"
+    )
+    rows = [
+        (1, "hostA", page),
+        (2, "hostA", page[:40]),               # verbatim excerpt of 1
+        (3, "hostB", page[:40]),               # same excerpt, OTHER host
+        (4, "hostA", "completely different words entirely here"),
+        (5, "hostA", page),                     # exact dup of 1 (tie)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    pairs = blocked_containment_pairs(df, "doc_id", "text", "source").collect()
+    got = {(r.id_contained, r.id_container) for r in pairs}
+    assert (2, 1) in got          # excerpt contained in its page
+    assert all(2 not in (a, b) or b in (1, 5) for a, b in got)
+    assert all(3 not in (a, b) for a, b in got)   # blocking holds
+    assert all(4 not in (a, b) for a, b in got)   # dissimilar filtered
+    assert (1, 5) in got          # equal sizes: lower id is contained
+    r21 = next(r for r in pairs if (r.id_contained, r.id_container) == (2, 1))
+    assert r21.n_inter == r21.n_small            # full containment
+    assert r21.n_small < r21.n_big
+    # and Jaccard at the SAME pair is far below any dedup threshold —
+    # the reason this operator exists
+    j = blocked_jaccard_pairs(df, "doc_id", "text", "source").collect()
+    assert (1, 2) not in {(r.id_a, r.id_b) for r in j}
+
+
 def test_blocked_jaccard_pairs_max_block_skip(spark):
     from ocr_pipeline_spark.operators.text_ops import blocked_jaccard_pairs
 

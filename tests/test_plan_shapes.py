@@ -489,6 +489,19 @@ def test_heavy_hitters_cms_broadcast_sketch(spark):
     assert "SortMergeJoin" not in plan, plan[:3000]
 
 
+def test_containment_pairs_single_block_shuffle(spark):
+    """containment_pairs (X66): one FlatMapGroupsInPandas kernel over
+    the host block key — exactly one hash exchange feeding it, no
+    cartesian product, no Window, no per-row Python eval."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["containment_pairs"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+
+
 def test_wet_export_single_shard_shuffle(spark):
     """wet_export (X61): extraction map-only, then exactly ONE hash
     exchange (the content-addressed shard groupBy) before the
