@@ -3684,6 +3684,296 @@ def _q_vocab_stats(spark, sf_dir):
     )
 
 
+_GOPHER_STOPS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+
+def _q_gopher_rules(spark, sf_dir):
+    """X67: Gopher quality rules (Rae et al. 2021 §A1.1) — the published
+    per-document repetition-free filter set modern curation stacks
+    (Gopher, RefinedWeb, Dolma) apply before model-based scoring: word
+    count in [50, 100k], mean word length in [3, 10], >= 80% of words
+    contain an alphabetic character, >= 2 distinct required stop words,
+    and a symbol-to-word lid on '#' and '...' (< 0.1 per word).  Every
+    threshold is evaluated with CROSS-MULTIPLIED INTEGERS (3*n <= s,
+    never s/n >= 3.0), so the flags are bit-identical across engines
+    and partitionings — no float thresholds to drift.
+
+    Complements filter_funnel (which reports pipeline ATTRITION through
+    a different rule chain): this emits the per-rule verdict vector per
+    document, the shape a curation pipeline joins back to the corpus as
+    a filter mask.
+
+    Scale shape: one narrow projection — split + JVM higher-order
+    filter + array_intersect per row, no shuffle at all until the
+    presentation sort; at 10^12 docs this is a pure map stage fused
+    into the scan."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_hashes = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ell_diff = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("..."))
+    )
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    base = d.select(
+        "doc_id",
+        ws.alias("ws"),
+        n_hashes.alias("n_hash"),
+        ell_diff.alias("ell_diff"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))))
+        .alias("n_spaces"),
+        F.length("text").alias("n_chars"),
+    ).select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        (F.col("n_chars") - F.col("n_spaces")).alias("sum_wlen"),
+        F.expr("size(filter(ws, w -> w rlike '[A-Za-z]'))").alias("n_alpha"),
+        F.size(F.array_intersect(F.array_distinct("ws"), stops)).alias(
+            "n_stops"
+        ),
+        "n_hash",
+        "ell_diff",
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)).alias(
+            "ok_word_count"
+        ),
+        (
+            (3 * F.col("n_words") <= F.col("sum_wlen"))
+            & (F.col("sum_wlen") <= 10 * F.col("n_words"))
+        ).alias("ok_mean_wlen"),
+        (5 * F.col("n_alpha") >= 4 * F.col("n_words")).alias("ok_alpha_words"),
+        (F.col("n_stops") >= 2).alias("ok_stop_words"),
+        (
+            (10 * F.col("n_hash") <= F.col("n_words"))
+            & (10 * F.col("ell_diff") <= 3 * F.col("n_words"))
+        ).alias("ok_symbols"),
+        (
+            (F.col("n_words") >= 50)
+            & (F.col("n_words") <= 100_000)
+            & (3 * F.col("n_words") <= F.col("sum_wlen"))
+            & (F.col("sum_wlen") <= 10 * F.col("n_words"))
+            & (5 * F.col("n_alpha") >= 4 * F.col("n_words"))
+            & (F.col("n_stops") >= 2)
+            & (10 * F.col("n_hash") <= F.col("n_words"))
+            & (10 * F.col("ell_diff") <= 3 * F.col("n_words"))
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _q_seq_len_buckets(spark, sf_dir):
+    """X68: sequence-length histogram in power-of-2 buckets — the
+    training-batch-shape diagnostic (how much of the corpus packs into
+    512/1024/2048-token contexts, what truncation at each context size
+    costs).  The bucket floor is computed from the BINARY DIGIT COUNT
+    of the token count (shiftleft(1, length(bin(n)) - 1)) — pure
+    integer arithmetic, immune to the log2(256)=7.999… float edge that
+    makes floor(log2(n)) engine-dependent.
+
+    Scale shape: narrow per-row token count -> ONE partial-aggregated
+    group-by over at most ~40 distinct buckets — the reduce side is a
+    constant-size frame no matter the corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(F.size(F.split("text", " ")).alias("n_tokens")).select(
+        F.expr(
+            "shiftleft(1L, length(bin(cast(greatest(n_tokens, 1)"
+            " as bigint))) - 1)"
+        ).alias("bucket_lo"),
+        "n_tokens",
+    )
+    return (
+        b.groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("int").alias("min_tokens"),
+            F.max("n_tokens").cast("int").alias("max_tokens"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+def _q_bloom_dedup_probe(spark, sf_dir):
+    """X69: Bloom-filter membership probe for incremental dedup — the
+    third fixed-memory sketch beside HLL (host_url_hll) and Count-Min
+    (heavy_hitters_cms), and the structure crawl pipelines actually
+    ship to frontier nodes so a new batch can be screened against a
+    10^12-key seen-set without a join against the corpus.  Built from
+    scratch and deterministic: m = 2^16 bits, k = 4 hashes, bit
+    positions are the first 4 hex chars of md5(j ':' key) — the DuckDB
+    twin rebuilds the identical bit set, so the per-document verdicts
+    hash-match exactly.  Probe batch = docs with doc_id%10 in (4, 9):
+    the %10==4 slice is ALSO in the build set (guaranteed true
+    positives, proving no-false-negatives), the %10==9 slice is novel
+    (any 'maybe' there is a measured false positive — the sketch's
+    one-sided error, reported per row).
+
+    Scale shape: the build side collapses to DISTINCT (j, pos) bit
+    rows — at most m*k = 262144 regardless of corpus size — which
+    broadcasts to the probe side; the probe is one broadcast-join +
+    per-key count.  The corpus-sized work is exactly two scans and one
+    partial-agg distinct; nothing pairwise, nothing driver-side."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("key")
+    )
+    build_keys = (
+        keyed.filter(F.col("doc_id") % 10 != 9).select("key").distinct()
+    )
+    probe = keyed.filter(
+        (F.col("doc_id") % 10 == 9) | (F.col("doc_id") % 10 == 4)
+    )
+    js = spark.range(4).select(F.col("id").cast("int").alias("j"))
+
+    def _positions(df):
+        return df.crossJoin(F.broadcast(js)).withColumn(
+            "pos",
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(j as string), ':', key)),"
+                " 1, 4), 16, 10) as long)"
+            ),
+        )
+
+    bits = _positions(build_keys).select("j", "pos").distinct()
+    hits = (
+        _positions(probe)
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), ["j", "pos"],
+              "left")
+        .groupBy("doc_id", "key")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+    )
+    truth = build_keys.withColumn("present", F.lit(True))
+    return (
+        hits.join(truth, "key", "left")
+        .select(
+            "doc_id",
+            (F.col("n_hits") == 4).alias("bloom_maybe"),
+            F.coalesce(F.col("present"), F.lit(False)).alias("present"),
+            (
+                (F.col("n_hits") == 4)
+                & ~F.coalesce(F.col("present"), F.lit(False))
+            ).alias("false_positive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_link_spam(spark, sf_dir):
+    """X70: nepotistic-link / link-farm detection over the X31 host
+    graph — the link-spam screen (Davison 2000's 'recognizing
+    nepotistic links'; the TrustRank-era precursor every crawl ranks
+    with) that flags hosts whose out-links concentrate on one target.
+    A host is flagged when its single top target receives >= half of
+    all its out-links (integer cross-multiply: 2*top >= total) and it
+    emits enough links for the signal to mean anything (total >= 10).
+    Tie-break for the top target is (n_links DESC, dst_host ASC) so
+    the row is engine-deterministic.
+
+    Scale shape: the edge list is already host-aggregated (O(hosts^2)
+    worst case, O(hosts * avg-fanout) real) — the window and both aggs
+    run on that reduced frame, never on page-level links; at 10^12
+    pages the page->host reduction happened once in host_link_graph's
+    partial agg."""
+    from ocr_pipeline_spark.fixtures.gen_pages import generate_pages_df
+    from ocr_pipeline_spark.operators.links_op import host_link_graph
+
+    n_pages = min(
+        max(500, int(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * 200_000)),
+        4000,
+    )
+    pages = generate_pages_df(spark, n_pages, seed=42, cross_links=True)
+    e = host_link_graph(pages)
+    w = Window.partitionBy("src_host").orderBy(
+        F.desc("n_links"), F.asc("dst_host")
+    )
+    ranked = e.select(
+        "src_host",
+        "dst_host",
+        "n_links",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n_links").over(Window.partitionBy("src_host")).alias(
+            "out_total"
+        ),
+        F.count("*").over(Window.partitionBy("src_host")).alias("n_dst"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "src_host",
+            F.col("out_total").cast("long").alias("out_total"),
+            F.col("n_dst").cast("int").alias("n_dst"),
+            F.col("dst_host").alias("top_dst"),
+            F.col("n_links").cast("long").alias("top_links"),
+            (
+                (2 * F.col("n_links") >= F.col("out_total"))
+                & (F.col("out_total") >= 10)
+            ).alias("is_spam"),
+        )
+        .orderBy("src_host")
+    )
+
+
+def _q_hits_step(spark, sf_dir):
+    """X71: one HITS update (Kleinberg 1999) over the X31 host graph —
+    hubs-and-authorities, the second classic link-analysis ranking
+    beside PageRank.  From the uniform hub vector h0 = 1, one full
+    round: auth_q(v) = sum of edge weights into v (= weighted
+    in-degree under h0), then hub_q(u) = sum over u's out-edges of
+    w * auth_q(dst).  Both sums are exact integers (edge weights are
+    link counts), so — like pagerank_step — the un-normalized step is
+    hash-provable against SQL on the witnessed edge list, pinning the
+    graph build, the transpose-multiply, and the multiply semantics
+    per engine.  (Iterative HITS inserts an L2 normalization between
+    rounds, which only rescales each vector — the step ordering this
+    oracle pins is the invariant part.)
+
+    Scale shape: edges checkpointed once (kernel subtree, multiple
+    consumers); auth is ONE partial-aggregated group-by on dst; hub is
+    one keyed join of edges to the O(hosts) auth frame plus a group-by
+    on src — no window, no collect, rank state is O(hosts)."""
+    from ocr_pipeline_spark.fixtures.gen_pages import generate_pages_df
+    from ocr_pipeline_spark.operators.links_op import host_link_graph
+
+    n_pages = min(
+        max(500, int(float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * 200_000)),
+        4000,
+    )
+    pages = generate_pages_df(spark, n_pages, seed=42, cross_links=True)
+    e = (
+        host_link_graph(pages)
+        .select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            F.col("n_links").cast("long").alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    auth = e.groupBy(F.col("dst").alias("host")).agg(
+        F.sum("w").alias("auth_q")
+    )
+    hub = (
+        e.join(auth.select(F.col("host").alias("dst"), "auth_q"), "dst")
+        .groupBy(F.col("src").alias("host"))
+        .agg(F.sum(F.col("w") * F.col("auth_q")).alias("hub_q"))
+    )
+    return (
+        nodes.join(auth, "host", "left")
+        .join(hub, "host", "left")
+        .select(
+            "host",
+            F.coalesce("auth_q", F.lit(0)).cast("long").alias("auth_q"),
+            F.coalesce("hub_q", F.lit(0)).cast("long").alias("hub_q"),
+        )
+        .orderBy("host")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: every key with an oracle_sql() entry comes FIRST,
     # and the FIRST 50 are the priority window — the driver's correctness
@@ -3829,6 +4119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "frontier_schedule": _q_frontier_schedule,
         "doc_embed_semdedup": _q_doc_embed_semdedup,
+        "gopher_rules": _q_gopher_rules,
+        "seq_len_buckets": _q_seq_len_buckets,
+        "bloom_dedup_probe": _q_bloom_dedup_probe,
+        "link_spam": _q_link_spam,
+        "hits_step": _q_hits_step,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -5553,6 +5848,156 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE pick_rank <= 40
             ORDER BY lang, pick_rank
+        """,
+        "gopher_rules": """
+            WITH base AS (
+                SELECT doc_id,
+                       string_split(text, ' ') AS ws,
+                       length(text) - length(replace(text, '#', ''))
+                           AS n_hash,
+                       length(text) - length(replace(text, '...', ''))
+                           AS ell_diff,
+                       length(text) - length(replace(text, ' ', ''))
+                           AS n_spaces,
+                       length(text) AS n_chars
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(ws) AS n_words,
+                       n_chars - n_spaces AS sum_wlen,
+                       len(list_filter(ws,
+                           w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                       len(list_intersect(list_distinct(ws),
+                           ['and', 'be', 'have', 'of', 'that', 'the',
+                            'to', 'with'])) AS n_stops,
+                       n_hash, ell_diff
+                FROM base
+            )
+            SELECT doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+                   (3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words)
+                       AS ok_mean_wlen,
+                   (5 * n_alpha >= 4 * n_words) AS ok_alpha_words,
+                   (n_stops >= 2) AS ok_stop_words,
+                   (10 * n_hash <= n_words
+                    AND 10 * ell_diff <= 3 * n_words) AS ok_symbols,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND 3 * n_words <= sum_wlen
+                    AND sum_wlen <= 10 * n_words
+                    AND 5 * n_alpha >= 4 * n_words
+                    AND n_stops >= 2
+                    AND 10 * n_hash <= n_words
+                    AND 10 * ell_diff <= 3 * n_words) AS keep
+            FROM m
+            ORDER BY doc_id
+        """,
+        "seq_len_buckets": """
+            WITH t AS (
+                SELECT len(string_split(text, ' ')) AS n_tokens
+                FROM documents
+            )
+            SELECT CAST(1::BIGINT
+                        << (length(bin(greatest(n_tokens, 1))) - 1)
+                        AS BIGINT) AS bucket_lo,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(min(n_tokens) AS INT) AS min_tokens,
+                   CAST(max(n_tokens) AS INT) AS max_tokens
+            FROM t
+            GROUP BY bucket_lo
+            ORDER BY bucket_lo
+        """,
+        "bloom_dedup_probe": """
+            WITH keyed AS (
+                SELECT doc_id, md5(text) AS key FROM documents
+            ), build AS (
+                SELECT DISTINCT key FROM keyed WHERE doc_id % 10 != 9
+            ), probe AS (
+                SELECT doc_id, key FROM keyed
+                WHERE doc_id % 10 IN (4, 9)
+            ), js AS (
+                SELECT unnest(generate_series(0, 3)) AS j
+            ), bits AS (
+                SELECT DISTINCT j,
+                       ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                           || key), 1, 4))::BIGINT AS pos,
+                       1 AS hit
+                FROM build, js
+            ), probed AS (
+                SELECT p.doc_id, p.key, js.j,
+                       ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':'
+                                           || p.key), 1, 4))::BIGINT AS pos
+                FROM probe p, js
+            ), hits AS (
+                SELECT doc_id, key,
+                       sum(CASE WHEN bits.hit IS NOT NULL
+                                THEN 1 ELSE 0 END) AS n_hits
+                FROM probed
+                LEFT JOIN bits ON probed.j = bits.j
+                             AND probed.pos = bits.pos
+                GROUP BY doc_id, key
+            )
+            SELECT h.doc_id,
+                   (n_hits = 4) AS bloom_maybe,
+                   (b.key IS NOT NULL) AS present,
+                   (n_hits = 4 AND b.key IS NULL) AS false_positive
+            FROM hits h LEFT JOIN build b ON h.key = b.key
+            ORDER BY h.doc_id
+        """,
+        "link_spam": f"""
+            WITH e AS (
+                SELECT src_host, dst_host, n_links
+                FROM read_parquet('{_WITNESS_DIR}/host_link_graph.parquet')
+            ), agg AS (
+                SELECT src_host,
+                       CAST(sum(n_links) AS BIGINT) AS out_total,
+                       CAST(count(*) AS INT) AS n_dst
+                FROM e GROUP BY src_host
+            ), top AS (
+                SELECT src_host, dst_host AS top_dst,
+                       CAST(n_links AS BIGINT) AS top_links
+                FROM (SELECT *,
+                             row_number() OVER (
+                                 PARTITION BY src_host
+                                 ORDER BY n_links DESC, dst_host ASC
+                             ) AS rk
+                      FROM e)
+                WHERE rk = 1
+            )
+            SELECT agg.src_host, out_total, n_dst, top_dst, top_links,
+                   (2 * top_links >= out_total AND out_total >= 10)
+                       AS is_spam
+            FROM agg JOIN top USING (src_host)
+            ORDER BY agg.src_host
+        """,
+        "hits_step": f"""
+            WITH e AS (
+                SELECT src_host AS src, dst_host AS dst,
+                       CAST(n_links AS BIGINT) AS w
+                FROM read_parquet('{_WITNESS_DIR}/host_link_graph.parquet')
+            ), nodes AS (
+                SELECT DISTINCT host FROM (
+                    SELECT src AS host FROM e
+                    UNION ALL
+                    SELECT dst AS host FROM e
+                )
+            ), auth AS (
+                SELECT dst AS host, CAST(sum(w) AS BIGINT) AS auth_q
+                FROM e GROUP BY dst
+            ), hub AS (
+                SELECT e.src AS host,
+                       CAST(sum(e.w * a.auth_q) AS BIGINT) AS hub_q
+                FROM e JOIN auth a ON e.dst = a.host
+                GROUP BY e.src
+            )
+            SELECT n.host,
+                   coalesce(auth.auth_q, 0) AS auth_q,
+                   coalesce(hub.hub_q, 0) AS hub_q
+            FROM nodes n
+            LEFT JOIN auth ON n.host = auth.host
+            LEFT JOIN hub ON n.host = hub.host
+            ORDER BY n.host
         """,
         "line_dedup": """
             WITH ws AS (

@@ -206,6 +206,8 @@ def main() -> None:
             "fuzzy_decontamination", "wet_export",
             "dedup_soft_weights", "url_canonical_dedup",
             "host_url_hll", "heavy_hitters_cms", "containment_pairs",
+            "gopher_rules", "seq_len_buckets", "bloom_dedup_probe",
+            "link_spam", "hits_step",
         ]
         qs = entry_mod.queries()
         # reference times from the last clean same-sf campaign (committed

@@ -512,3 +512,80 @@ def test_wet_export_single_shard_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
     assert "Join" not in plan, plan[:3000]
     assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+
+
+def test_gopher_rules_is_map_only(spark):
+    """gopher_rules (X67): the whole rule vector is one narrow JVM
+    projection fused into the scan — no Python eval node, no join, no
+    window, no hash shuffle (only the presentation range sort)."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["gopher_rules"](spark, SF_DIR))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "hashpartitioning" not in plan, plan[:2000]
+
+
+def test_seq_len_buckets_partial_agg_constant_reduce(spark):
+    """seq_len_buckets (X68): one partial-aggregated groupBy over a
+    ~40-value bucket key — map-side combine collapses the corpus to a
+    constant-size frame before the exchange; pure JVM, no window, no
+    join."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["seq_len_buckets"](spark, SF_DIR))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_count" in plan or "partial count" in plan.lower(), (
+        plan[:3000]
+    )
+
+
+def test_bloom_dedup_probe_bit_join_is_broadcast(spark):
+    """bloom_dedup_probe (X69): the bit set is bounded by m*k = 262144
+    rows regardless of corpus size, so the probe-side membership join
+    must be a BROADCAST hash join — never a shuffled join keyed on
+    (j, pos) — and nothing in the plan is cartesian, windowed, or
+    per-row Python."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["bloom_dedup_probe"](spark, SF_DIR))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_link_spam_single_kernel_on_host_frame(spark):
+    """link_spam (X70): the page->host link kernel runs ONCE (single
+    consumer branch), and every window/agg runs over the
+    host-aggregated edge frame — never page-level links; no cartesian,
+    no per-row Python."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["link_spam"](spark, SF_DIR))
+    # one generator node + one link kernel node in a single linear
+    # branch; the KERNEL must appear exactly once (no per-branch rerun)
+    assert plan.count("MapInPandas kernel") == 1, plan[:3000]
+    assert plan.count("MapInPandas") <= 2, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_hits_step_no_kernel_rerun_no_cross(spark):
+    """hits_step (X71): the checkpointed edge frame feeds nodes/auth/
+    hub — the link kernel must not be duplicated per consumer branch
+    (same lineage-cut contract as host_pagerank/anchor_texts), and the
+    transpose-multiply is keyed joins + partial aggs, never a
+    cartesian or a window."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["hits_step"](spark, SF_DIR))
+    assert plan.count("MapInPandas") <= 1, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
