@@ -3974,6 +3974,185 @@ def _q_hits_step(spark, sf_dir):
     )
 
 
+def _q_robots_parse(spark, sf_dir):
+    """X72: robots.txt FORMAT parser — the raw-text half of the REP
+    story (robots_filter consumes an already-structured rule table;
+    this builds that table from robots.txt bodies, the way a crawler
+    actually ingests them).  Implements the REP grouping rules
+    (RFC 9309 §2.1): consecutive User-agent lines form one group head
+    and share the group's rules; comments (#) and blank lines are
+    invisible to grouping; directive names are case-insensitive; the
+    most specific matching agent group wins (here: a 'ccbot' group
+    beats the '*' group; hosts without a ccbot group fall back to *).
+    Bodies are synthesized deterministically per host so the DuckDB
+    twin parses the identical text.
+
+    Scale shape: the stateful group assignment is a per-HOST window
+    over robots.txt LINES — the file is the natural unit and the spec
+    caps it at 500 KiB, so the window frame is bounded by file size,
+    never corpus size; group metadata and the per-host agent-choice
+    flag are partial-aggregated frames of O(hosts) rows."""
+    hosts = (
+        _synth_urls(_t(spark, sf_dir, "documents"))
+        .select("host", "hn")
+        .distinct()
+    )
+    body = F.concat(
+        F.lit("# robots.txt for "), F.col("host"), F.lit("\n"),
+        F.lit("\n"),
+        F.lit("User-Agent: *\n"),
+        F.lit("Disallow: /private/\n"),
+        F.lit("allow: /private/public/\n"),
+        F.concat(F.lit("Crawl-delay: "),
+                 (F.lit(1) + F.col("hn") % 7).cast("string"), F.lit("\n")),
+        F.when(
+            F.col("hn") % 2 == 0,
+            F.concat(
+                F.lit("\n# crawler-specific group\n"),
+                F.lit("User-agent: ccbot\n"),
+                F.lit("User-agent: testbot\n"),
+                F.lit("Disallow: /docs/\n"),
+                F.when(F.col("hn") % 4 == 0,
+                       F.lit("Allow: /docs/public/\n")).otherwise(F.lit("")),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    lines = hosts.select(
+        "host", F.posexplode(F.split(body, "\n")).alias("pos", "raw")
+    ).select(
+        "host", "pos", F.trim("raw").alias("line")
+    ).filter(
+        (F.col("line") != "") & ~F.col("line").startswith("#")
+        & F.col("line").contains(":")
+    ).select(
+        "host",
+        "pos",
+        F.lower(F.trim(F.substring_index("line", ":", 1))).alias("directive"),
+        F.trim(F.expr("substring(line, instr(line, ':') + 1)")).alias("value"),
+    )
+    w_host = Window.partitionBy("host").orderBy("pos")
+    grouped = lines.withColumn(
+        "is_ua", (F.col("directive") == "user-agent").cast("int")
+    ).withColumn(
+        "new_group",
+        (
+            (F.col("is_ua") == 1)
+            & (F.coalesce(F.lag("is_ua").over(w_host), F.lit(0)) == 0)
+        ).cast("int"),
+    ).withColumn("group_id", F.sum("new_group").over(w_host))
+    agents = grouped.filter(F.col("is_ua") == 1).groupBy(
+        "host", "group_id"
+    ).agg(
+        F.max((F.col("value") == "ccbot").cast("int")).alias("has_ccbot"),
+        F.max((F.col("value") == "*").cast("int")).alias("has_star"),
+    )
+    host_flag = agents.groupBy("host").agg(
+        F.max("has_ccbot").alias("any_ccbot")
+    )
+    chosen = (
+        agents.join(host_flag, "host")
+        .filter(
+            ((F.col("any_ccbot") == 1) & (F.col("has_ccbot") == 1))
+            | ((F.col("any_ccbot") == 0) & (F.col("has_star") == 1))
+        )
+        .select(
+            "host",
+            "group_id",
+            F.when(F.col("any_ccbot") == 1, "ccbot").otherwise("*").alias(
+                "used_agent"
+            ),
+        )
+    )
+    return (
+        grouped.filter(F.col("is_ua") == 0)
+        .join(chosen, ["host", "group_id"])
+        .select("host", "used_agent", "directive", "value")
+        .orderBy("host", "directive", "value")
+    )
+
+
+def _q_embedding_outliers(spark, sf_dir):
+    """X73: embedding-outlier pruning — per-cluster centroid distance,
+    the semantic-hygiene screen (SemDeDup's outlier complement,
+    CLIP-score-style pruning) that drops documents far from their
+    cluster's center.  Engine-exact by integer geometry: vectors are
+    quantized to q = round(x * 10^4) (exact bigints), the per-label
+    centroid is the per-dim INTEGER SUM of quantized vectors — cosine
+    is scale-invariant, so the un-normalized sum IS the centroid
+    direction, with no division whose floor-vs-truncate semantics
+    differ between engines on negatives — and cosine is one
+    correctly-rounded sqrt + division per row, rounded to 4 dp.
+    (At 10^12 rows the sums leave exact-double range: there you divide
+    them by the label count once, on the tiny n_labels*64 frame,
+    before broadcasting — same direction, small entries.)
+    Output: per-vector cosine to its label centroid plus the
+    bottom-10-per-label outlier rank (rank-based, threshold-free).
+
+    Scale shape: per-dim centroid sums are a partial-aggregated
+    group-by on (label, dim) — the corpus collapses to
+    n_labels * 64 rows map-side; centroids rebuild and BROADCAST back;
+    per-row cosine is a narrow JVM fold.  The bottom-k window is the
+    stratified_sample top-k shape (one shuffle on the label key);
+    at extreme scale the same screen is taken shuffle-free by
+    thresholding cos directly."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+        ).alias("q"),
+    )
+    dims = q.select(
+        "label", F.posexplode("q").alias("dim", "v")
+    )
+    sums = dims.groupBy("label", "dim").agg(F.sum("v").alias("s"))
+    cent = sums.groupBy("label").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(dim, s))), p -> p.s)"
+        ).alias("c")
+    )
+    dotted = q.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(zip_with(q, c, (a, b) -> a * b), 0L, (acc, t) -> acc + t)"
+        ).alias("dot"),
+        F.expr(
+            "aggregate(transform(q, a -> a * a), 0L, (acc, t) -> acc + t)"
+        ).alias("nq2"),
+        F.expr(
+            "aggregate(transform(c, b -> b * b), 0L, (acc, t) -> acc + t)"
+        ).alias("nc2"),
+    )
+    scored = dotted.select(
+        "vec_id",
+        "label",
+        F.when(
+            (F.col("nq2") > 0) & (F.col("nc2") > 0),
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("nq2").cast("double"))
+                   * F.sqrt(F.col("nc2").cast("double"))),
+                4,
+            ),
+        ).otherwise(F.lit(0.0)).alias("cos_c"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_c"), F.asc("vec_id"))
+    return (
+        scored.select(
+            "vec_id", "label", "cos_c",
+            F.row_number().over(w).alias("rk"),
+        )
+        .select(
+            "vec_id", "label", "cos_c",
+            (F.col("rk") <= 10).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: every key with an oracle_sql() entry comes FIRST,
     # and the FIRST 50 are the priority window — the driver's correctness
@@ -4124,6 +4303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup_probe": _q_bloom_dedup_probe,
         "link_spam": _q_link_spam,
         "hits_step": _q_hits_step,
+        "robots_parse": _q_robots_parse,
+        "embedding_outliers": _q_embedding_outliers,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -5970,6 +6151,122 @@ def oracle_sql() -> dict[str, str]:
                        AS is_spam
             FROM agg JOIN top USING (src_host)
             ORDER BY agg.src_host
+        """,
+        "robots_parse": """
+            WITH hosts AS (
+                SELECT DISTINCT source || '.example.com' AS host,
+                       CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT)
+                           AS hn
+                FROM documents
+            ), bodies AS (
+                SELECT host,
+                       '# robots.txt for ' || host || chr(10) || chr(10)
+                       || 'User-Agent: *' || chr(10)
+                       || 'Disallow: /private/' || chr(10)
+                       || 'allow: /private/public/' || chr(10)
+                       || 'Crawl-delay: ' || CAST(1 + hn % 7 AS VARCHAR)
+                       || chr(10)
+                       || CASE WHEN hn % 2 = 0 THEN
+                              chr(10) || '# crawler-specific group'
+                              || chr(10)
+                              || 'User-agent: ccbot' || chr(10)
+                              || 'User-agent: testbot' || chr(10)
+                              || 'Disallow: /docs/' || chr(10)
+                              || CASE WHEN hn % 4 = 0
+                                      THEN 'Allow: /docs/public/' || chr(10)
+                                      ELSE '' END
+                          ELSE '' END AS body
+                FROM hosts
+            ), rawlines AS (
+                SELECT host, i - 1 AS pos, trim(ls[i]) AS line
+                FROM (SELECT host, string_split(body, chr(10)) AS ls
+                      FROM bodies),
+                     LATERAL unnest(generate_series(1, len(ls))) AS t(i)
+            ), lines AS (
+                SELECT host, pos,
+                       lower(trim(split_part(line, ':', 1))) AS directive,
+                       trim(substr(line, strpos(line, ':') + 1)) AS value
+                FROM rawlines
+                WHERE line <> '' AND NOT starts_with(line, '#')
+                      AND contains(line, ':')
+            ), grouped AS (
+                SELECT *, CASE WHEN directive = 'user-agent'
+                               THEN 1 ELSE 0 END AS is_ua
+                FROM lines
+            ), g2 AS (
+                SELECT *,
+                       CASE WHEN is_ua = 1
+                                 AND coalesce(lag(is_ua) OVER (
+                                     PARTITION BY host ORDER BY pos), 0) = 0
+                            THEN 1 ELSE 0 END AS new_group
+                FROM grouped
+            ), g3 AS (
+                SELECT *, sum(new_group) OVER (
+                    PARTITION BY host ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS group_id
+                FROM g2
+            ), agents AS (
+                SELECT host, group_id,
+                       max(CASE WHEN value = 'ccbot' THEN 1 ELSE 0 END)
+                           AS has_ccbot,
+                       max(CASE WHEN value = '*' THEN 1 ELSE 0 END)
+                           AS has_star
+                FROM g3 WHERE is_ua = 1 GROUP BY host, group_id
+            ), hf AS (
+                SELECT host, max(has_ccbot) AS any_ccbot
+                FROM agents GROUP BY host
+            ), chosen AS (
+                SELECT a.host, a.group_id,
+                       CASE WHEN hf.any_ccbot = 1 THEN 'ccbot'
+                            ELSE '*' END AS used_agent
+                FROM agents a JOIN hf ON a.host = hf.host
+                WHERE (hf.any_ccbot = 1 AND a.has_ccbot = 1)
+                   OR (hf.any_ccbot = 0 AND a.has_star = 1)
+            )
+            SELECT g3.host, chosen.used_agent, g3.directive, g3.value
+            FROM g3 JOIN chosen
+                 ON g3.host = chosen.host AND g3.group_id = chosen.group_id
+            WHERE g3.is_ua = 0
+            ORDER BY g3.host, g3.directive, g3.value
+        """,
+        "embedding_outliers": """
+            WITH q AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x ->
+                           CAST(round(CAST(x AS DOUBLE) * 10000)
+                                AS BIGINT)) AS q
+                FROM embeddings
+            ), dims AS (
+                SELECT label, i - 1 AS dim, q[i] AS v
+                FROM q, LATERAL unnest(generate_series(1, len(q))) AS t(i)
+            ), sums AS (
+                SELECT label, dim, CAST(sum(v) AS BIGINT) AS s
+                FROM dims GROUP BY label, dim
+            ), cent AS (
+                SELECT label, list(s ORDER BY dim) AS c
+                FROM sums GROUP BY label
+            ), dotted AS (
+                SELECT vec_id, q.label,
+                       list_dot_product(CAST(q.q AS DOUBLE[]),
+                                        CAST(cent.c AS DOUBLE[])) AS dot,
+                       list_dot_product(CAST(q.q AS DOUBLE[]),
+                                        CAST(q.q AS DOUBLE[])) AS nq2,
+                       list_dot_product(CAST(cent.c AS DOUBLE[]),
+                                        CAST(cent.c AS DOUBLE[])) AS nc2
+                FROM q JOIN cent ON q.label = cent.label
+            ), scored AS (
+                SELECT vec_id, label,
+                       CASE WHEN nq2 > 0 AND nc2 > 0
+                            THEN round(dot / (sqrt(nq2) * sqrt(nc2)), 4)
+                            ELSE 0.0 END AS cos_c
+                FROM dotted
+            )
+            SELECT vec_id, label, cos_c,
+                   (row_number() OVER (
+                        PARTITION BY label
+                        ORDER BY cos_c ASC, vec_id ASC) <= 10) AS is_outlier
+            FROM scored
+            ORDER BY vec_id
         """,
         "hits_step": f"""
             WITH e AS (

@@ -207,7 +207,7 @@ def main() -> None:
             "dedup_soft_weights", "url_canonical_dedup",
             "host_url_hll", "heavy_hitters_cms", "containment_pairs",
             "gopher_rules", "seq_len_buckets", "bloom_dedup_probe",
-            "link_spam", "hits_step",
+            "link_spam", "hits_step", "robots_parse", "embedding_outliers",
         ]
         qs = entry_mod.queries()
         # reference times from the last clean same-sf campaign (committed

@@ -589,3 +589,34 @@ def test_hits_step_no_kernel_rerun_no_cross(spark):
     assert plan.count("MapInPandas") <= 1, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
+
+
+def test_robots_parse_windows_bounded_by_file_not_corpus(spark):
+    """robots_parse (X72): the stateful REP group assignment is a
+    per-host window over robots.txt LINES (bounded by the spec's
+    500 KiB file cap, never corpus size); everything is JVM string
+    expressions — no Python eval node, no cartesian join."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["robots_parse"](spark, SF_DIR))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_embedding_outliers_broadcast_centroids_partial_sums(spark):
+    """embedding_outliers (X73): per-dim centroid sums are a
+    partial-aggregated group-by on (label, dim) — the corpus collapses
+    to n_labels*64 rows map-side — and the rebuilt centroids attach to
+    the vectors via a BROADCAST join; the cosine fold is pure JVM."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["embedding_outliers"](spark, SF_DIR))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "partial_sum" in plan or "partial sum" in plan.lower(), (
+        plan[:3000]
+    )
