@@ -270,36 +270,44 @@ def test_driver_window_allocation():
         "oracled query ordered after a non-oracled one"
     )
     window = set(names[:50])
-    # round-5 rotation: extraction family + round-5-changed plans +
-    # streams + new queries + everything that had never had a driver
-    # CORRECTNESS row before r5.  Rotated-out queries all carry a green
-    # CORRECTNESS_r04 row and stay covered by the mini-driver compare.
+    # final round-5 allocation: after this round EVERY oracled query has
+    # had at least one driver CORRECTNESS row in some round.  The window
+    # holds the pinned core, every never-rowed query (18 round-5
+    # additions swapped in for 18 multi-round-green members), and one
+    # representative per already-verified family.
     must_have = {
         # extraction family (always pinned)
         "extract_documents", "assemble_documents",
         "extract_pdf_documents", "pdf_page_explode",
         "pdf_layout_markdown",
+        "page_metadata", "extract_fidelity", "text_normalize",
         # plans changed in round 5
         "dup_spans", "dedup_apply_spans", "dsir_weights",
         # streaming
         "events_sessionized_stream", "events_dedup_stream",
         "events_windowed_stream",
-        # new in round 5
-        "doc_embeddings", "doc_embed_knn", "ann_lsh_recall",
-        "ann_ivf_recall", "embedding_near_dup_lsh_recall",
-        "pagerank_step",
-        "page_metadata", "extract_fidelity", "text_normalize",
-        # first-ever driver evaluation (never windowed in r1-r4)
-        "hybrid_search", "anchor_texts", "robots_filter",
-        "bpe_pair_counts", "bpe_merges", "purchase_last_click",
-        "signup_clicks_1h", "embedding_near_dup", "host_stats",
-        "fingerprint_overlap", "jaccard_pairs_host",
-        "dedup_canonical_docs", "lang_simhash",
         # near-dup flagships
         "minhash_dup_pairs", "near_dup_verified",
+        # never had a driver row before this round
+        "doc_embeddings", "doc_embed_knn", "ann_lsh_recall",
+        "ann_ivf_recall", "embedding_near_dup_lsh_recall",
+        "pagerank_step", "hybrid_search", "anchor_texts",
+        "robots_filter", "order_quartiles", "bpe_pair_counts",
+        "bpe_merges", "fuzzy_decontamination", "wet_export",
+        "dedup_soft_weights", "url_canonical_dedup", "host_url_hll",
+        "heavy_hitters_cms", "containment_pairs", "cdx_index",
+        "corpus_curation", "frontier_schedule", "doc_embed_semdedup",
+        "gopher_rules", "seq_len_buckets", "bloom_dedup_probe",
+        "link_spam", "hits_step", "robots_parse",
+        "embedding_outliers",
+        # family representatives with prior green rows
+        "revenue_by_nation", "events_pivot", "host_stats",
+        "embedding_near_dup",
     }
+    assert len(must_have) == 50
     missing = must_have - window
     assert not missing, f"flagships evicted from driver window: {missing}"
+    assert window == must_have
 
 
 def test_extract_fidelity_nonvacuous(spark):
