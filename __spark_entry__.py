@@ -4153,6 +4153,138 @@ def _q_embedding_outliers(spark, sf_dir):
     )
 
 
+def _q_mojibake_repair(spark, sf_dir):
+    """X74: ftfy-style mojibake detection + repair — the standard
+    crawl-hygiene pass for text whose UTF-8 bytes were somewhere
+    misread as Latin-1 ('é' -> 'Ã©').  The kernel garbles each clean
+    fixture document under exactly that corruption model, then runs the
+    detect->repair pipeline (lead-byte heuristic U+00C2..U+00F4, then
+    Latin-1 re-encode + UTF-8 decode); the oracle proves the repair is
+    BYTE-EXACT by md5: repaired text must hash to the original.  The
+    per-doc stats are engine-portable integers — n_chars of the garbled
+    text equals octet_length of the original's UTF-8, n_marks equals
+    its count of bytes >= 0x80 — so DuckDB derives every column from
+    the clean text alone without being able to fake the round-trip.
+
+    The fixture corpus is pure ASCII (garbling ASCII is the identity),
+    so each document is first garnished with a deterministic non-ASCII
+    decoration covering 2-, 3- and 4-byte UTF-8 sequences ('é'/'—',
+    '№', '😀') — spelled identically by the SQL twin — making the
+    repair path non-vacuous on every row.
+
+    Scale shape: narrow Arrow kernel, no shuffle at any size; both
+    codec passes are C-side per batch and the text column never
+    leaves the worker (only md5 + counters come back)."""
+    from ocr_pipeline_spark.operators.text_ops import mojibake_repair_kernel
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Résumé №"),
+            F.col("doc_id").cast("string"),
+            F.lit(" 😀 — "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    fixed = d.mapInPandas(
+        mojibake_repair_kernel(),
+        schema="doc_id long, n_chars long, n_marks long, "
+               "did_repair boolean, repaired string",
+    )
+    return fixed.select(
+        "doc_id",
+        "n_chars",
+        "n_marks",
+        "did_repair",
+        F.md5(F.encode("repaired", "UTF-8")).alias("repaired_md5"),
+    ).orderBy("doc_id")
+
+
+def _q_host_template_lines(spark, sf_dir):
+    """X75: host-scoped template-line removal — the inter-document
+    boilerplate pass (CCNet/trafilatura family): a paragraph that
+    appears on at least half of a host's pages (and on >= 2 of them)
+    is site furniture (nav, cookie banner, footer), not content, and
+    is stripped from every page; an organically duplicated paragraph
+    on a few pages survives.  Differs from line_dedup (corpus-global
+    df<=1 dedup) in both scope and rule: the decision is host-local
+    and ratio-based.  Every page gets a deterministic synthesized
+    banner line (host furniture, spelled identically by the SQL twin —
+    same pattern as the crawl queries' _synth_urls), so the detector
+    provably fires per host while organic low-ratio dups are kept.
+    The reassembled residual text is witnessed by md5, proving
+    byte-equal reassembly in original order.
+
+    Scale shape: one partial-aggregated groupBy on (host, line-hash) —
+    the hot keys are exactly the template lines and partial agg
+    collapses them map-side; host page-counts are a tiny broadcast
+    frame (|hosts| rows); the template verdict joins back on the same
+    (host, h) key (bucketable, and AQE broadcasts the verdict side —
+    |distinct lines| per host — when small).  No pair expansion, one
+    corpus scan."""
+    d = _synth_urls(_t(spark, sf_dir, "documents"))
+    banner = F.concat(
+        F.lit("Home | About | Contact — © "),
+        F.col("host"),
+        F.lit(" — we use cookies"),
+    )
+    lines = d.select(
+        "doc_id",
+        "host",
+        F.posexplode(
+            F.concat(
+                F.array(banner),
+                F.expr(
+                    "transform(sequence(0, cast(floor((size(split(text, ' ')) - 1) / 40) "
+                    "as int)), i -> array_join(slice(split(text, ' '), i * 40 + 1, 40), ' '))"
+                ),
+            )
+        ).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.encode("line", "UTF-8")))
+    host_docs = d.groupBy("host").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    freq = lines.groupBy("host", "h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    template = (
+        freq.join(F.broadcast(host_docs), "host")
+        .filter((F.col("df") >= 2) & (F.col("df") * 2 >= F.col("n_docs")))
+        .select("host", "h", F.lit(True).alias("is_template"))
+    )
+    kept = (
+        lines.join(template, ["host", "h"], "left")
+        .filter(F.col("is_template").isNull())
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "\n",
+                    F.expr(
+                        "transform(sort_array(collect_list("
+                        "struct(pos, line))), x -> x.line)"
+                    ),
+                ),
+                "UTF-8",
+            )
+        ).alias("kept_md5"),
+    )
+    n_lines = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    return (
+        n_lines.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_md5", F.lit(empty_md5)).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: every key with an oracle_sql() entry comes FIRST,
     # and the FIRST 50 are the priority window — the driver's correctness
@@ -4299,6 +4431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": _q_classifier_scores,
         "line_dedup": _q_line_dedup,
         "snapshot_diff": _q_snapshot_diff,
+        "mojibake_repair": _q_mojibake_repair,
+        "host_template_lines": _q_host_template_lines,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -6309,6 +6443,85 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lines.* FROM lines
                 JOIN freq ON md5(lines.line) = freq.h
                 WHERE freq.df <= 1
+            ), rebuilt AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       md5(string_agg(line, chr(10) ORDER BY pos))
+                           AS kept_md5
+                FROM kept GROUP BY doc_id
+            ), n_lines AS (
+                SELECT doc_id, count(*) AS n_lines FROM lines
+                GROUP BY doc_id
+            )
+            SELECT n_lines.doc_id, n_lines.n_lines,
+                   coalesce(rebuilt.n_kept, 0) AS n_kept,
+                   coalesce(rebuilt.kept_md5,
+                            'd41d8cd98f00b204e9800998ecf8427e') AS kept_md5
+            FROM n_lines LEFT JOIN rebuilt
+                 ON n_lines.doc_id = rebuilt.doc_id
+            ORDER BY n_lines.doc_id
+        """,
+        # mojibake_repair: every column is derived from the CLEAN text —
+        # n_chars(garbled) == octet_length(utf-8 bytes), n_marks ==
+        # count of bytes >= 0x80 (== octet_length - count of ASCII
+        # chars), did_repair fires iff any such byte exists (every
+        # multi-byte UTF-8 sequence starts with a 0xC2-0xF4 lead), and
+        # a byte-exact repair means md5(repaired) == md5(text).
+        "mojibake_repair": """
+            WITH garnished AS (
+                SELECT doc_id,
+                       'Résumé №' || CAST(doc_id AS VARCHAR)
+                           || ' 😀 — ' || text AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_chars,
+                   octet_length(encode(text))
+                       - length(regexp_replace(text, '[^[:ascii:]]',
+                                               '', 'g')) AS n_marks,
+                   (octet_length(encode(text))
+                       - length(regexp_replace(text, '[^[:ascii:]]',
+                                               '', 'g'))) > 0
+                       AS did_repair,
+                   md5(text) AS repaired_md5
+            FROM garnished
+            ORDER BY doc_id
+        """,
+        "host_template_lines": """
+            WITH ws AS (
+                SELECT doc_id, source || '.example.com' AS host,
+                       string_split(text, ' ') AS ws
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id, host, i + 1 AS pos,
+                       array_to_string(ws[i * 40 + 1 : i * 40 + 40], ' ')
+                           AS line
+                FROM ws, LATERAL unnest(generate_series(
+                         0, CAST(floor((len(ws) - 1) / 40) AS BIGINT)))
+                     AS t(i)
+            ), lines AS (
+                SELECT doc_id, host, 0 AS pos,
+                       'Home | About | Contact — © ' || host
+                           || ' — we use cookies' AS line
+                FROM ws
+                UNION ALL
+                SELECT * FROM chunks
+            ), host_docs AS (
+                SELECT host, count(DISTINCT doc_id) AS n_docs
+                FROM ws GROUP BY host
+            ), freq AS (
+                SELECT host, md5(line) AS h,
+                       count(DISTINCT doc_id) AS df
+                FROM lines GROUP BY host, md5(line)
+            ), template AS (
+                SELECT freq.host, freq.h
+                FROM freq JOIN host_docs ON freq.host = host_docs.host
+                WHERE freq.df >= 2 AND freq.df * 2 >= host_docs.n_docs
+            ), kept AS (
+                SELECT lines.* FROM lines
+                LEFT JOIN template
+                     ON lines.host = template.host
+                        AND md5(lines.line) = template.h
+                WHERE template.h IS NULL
             ), rebuilt AS (
                 SELECT doc_id, count(*) AS n_kept,
                        md5(string_agg(line, chr(10) ORDER BY pos))

@@ -172,6 +172,71 @@ def compression_signal_kernel(text_col: str = "text"):
 
 
 # =========================================================================
+# Mojibake detection + repair (ftfy-style encoding fix)
+# =========================================================================
+def mojibake_garble(text: str) -> str:
+    """The classic corruption model: a document's UTF-8 bytes misread
+    as Latin-1 ('é' -> 'Ã©', ''' -> 'â\\x80\\x99').  Every byte is a
+    valid Latin-1 code point, so this is total and exactly invertible —
+    which is what makes the repair oracle byte-exact.  (ftfy's default
+    model is cp1252; Latin-1 is the invertible member of the family —
+    cp1252 leaves 5 bytes unmapped and needs a fallback.)"""
+    return (text or "").encode("utf-8").decode("latin-1")
+
+
+def mojibake_repair(garbled: str) -> tuple[int, int, bool, str]:
+    """Detect UTF-8-as-Latin-1 mojibake and repair it.  Returns
+    (n_chars, n_marks, did_repair, repaired) where n_marks counts the
+    non-ASCII marker characters (each one was a byte >= 0x80 of the
+    original UTF-8) and did_repair says the lead-byte heuristic fired
+    AND the Latin-1 re-encode round-tripped as valid UTF-8.
+
+    Detection: any char in U+00C2..U+00F4 — the Latin-1 images of
+    UTF-8 lead bytes 0xC2-0xF4.  Every multi-byte UTF-8 sequence
+    starts with one, so the heuristic fires iff the text contains
+    mojibake under this model (no false negatives); prose that
+    legitimately uses those characters ('Ã', 'â'...) round-trips only
+    when its codepoint sequence happens to BE valid UTF-8, which for
+    natural text it essentially never is — then the repair is a no-op
+    fall-through."""
+    g = garbled or ""
+    n_marks = sum(1 for c in g if ord(c) >= 0x80)
+    detected = any(0xC2 <= ord(c) <= 0xF4 for c in g)
+    if detected:
+        try:
+            return len(g), n_marks, True, g.encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            pass
+    return len(g), n_marks, False, g
+
+
+def mojibake_repair_kernel(text_col: str = "text"):
+    """mapInPandas kernel factory: (doc_id, text) -> (doc_id, n_chars,
+    n_marks, did_repair, repaired).  The kernel garbles the clean
+    fixture text under the UTF-8-as-Latin-1 model and then repairs it,
+    so the pipeline under test is detect->repair and the invariant is
+    repaired == original, byte for byte.  Narrow — no shuffle; both
+    codec passes are C-side per Arrow batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fixed = [
+                mojibake_repair(mojibake_garble(t)) for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_chars": [f[0] for f in fixed],
+                    "n_marks": [f[1] for f in fixed],
+                    "did_repair": [f[2] for f in fixed],
+                    "repaired": [f[3] for f in fixed],
+                }
+            )
+
+    return kernel
+
+
+# =========================================================================
 # SimHash (64-bit) — near-dup fingerprint (Arrow kernel)
 #
 # Hash family: blake2b-64 per token (one C call, PYTHONHASHSEED-free).

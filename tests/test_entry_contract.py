@@ -323,3 +323,32 @@ def test_extract_fidelity_nonvacuous(spark):
     assert nonzero == 500, f"only {nonzero}/500 docs overlap"
     mean_recall = sum(r.recall for r in rows) / len(rows)
     assert mean_recall > 0.9, mean_recall
+
+
+def test_mojibake_repair_nonvacuous(spark):
+    """Guard against the all-ASCII silent pass: the fixture corpus is
+    pure ASCII, so without the non-ASCII garnish the garble would be
+    the identity and the repair path would never execute while the
+    oracle stayed green.  Require the repair to actually fire on every
+    row with real multi-byte content (the garnish alone contributes
+    2-, 3- and 4-byte sequences: >= 14 marker bytes)."""
+    rows = entry_mod._q_mojibake_repair(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    assert all(r.did_repair for r in rows)
+    assert all(r.n_marks >= 14 for r in rows)
+    assert all(r.n_chars > r.n_marks for r in rows)
+
+
+def test_host_template_lines_strips_banner_keeps_organic_dups(spark):
+    """The ratio rule must separate site furniture from organic
+    duplication: every doc loses EXACTLY its synthesized host banner
+    (df == n_docs of the host -> template), while the fixture's
+    organic within-host duplicate paragraph (df=2 of ~25 docs, ratio
+    0.08) survives — corpus-global line_dedup would have dropped it.
+    If the banner synthesis ever drifted between host pages the
+    detector would silently keep it and n_kept == n_lines."""
+    rows = entry_mod._q_host_template_lines(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    assert all(r.n_lines - r.n_kept == 1 for r in rows), (
+        "every doc must lose exactly its banner line"
+    )

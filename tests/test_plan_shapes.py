@@ -620,3 +620,38 @@ def test_embedding_outliers_broadcast_centroids_partial_sums(spark):
     assert "partial_sum" in plan or "partial sum" in plan.lower(), (
         plan[:3000]
     )
+
+
+def test_mojibake_repair_is_narrow_kernel(spark):
+    """mojibake_repair (X74): one Arrow kernel over the scan — no
+    shuffle besides the presentation range sort, no join, no window;
+    the text column never crosses an exchange (only md5 + counters
+    leave the kernel)."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["mojibake_repair"](spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+
+
+def test_host_template_lines_partial_agg_broadcast_hostdocs(spark):
+    """host_template_lines (X75): the (host, line-hash) frequency is a
+    partial-aggregated group-by (hot template lines collapse map-side),
+    host page-counts attach by BROADCAST join, and nothing is
+    cartesian, windowed, or Python — the whole operator is JVM
+    expressions."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(
+        entry_mod.queries()["host_template_lines"](spark, SF_DIR)
+    )
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "partial_count" in plan or "partial count" in plan.lower(), (
+        plan[:3000]
+    )
