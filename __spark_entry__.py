@@ -4285,6 +4285,71 @@ def _q_host_template_lines(spark, sf_dir):
     )
 
 
+def _q_phrase_search(spark, sf_dir):
+    """X76: positional-postings phrase query — the IR operator bm25 /
+    term_postings leave uncovered: exact multi-word phrase match via
+    adjacent-position intersection of two posting lists (Manning's IR
+    ch.2 positional index).  The query set is derived from the corpus
+    itself for determinism: the 5 most frequent word bigrams under the
+    total order (count DESC, phrase ASC).  Each phrase is then matched
+    back THROUGH the positional index — token (doc_id, pos) postings
+    for the first word joined to postings of the second word at
+    pos + 1 — reporting per phrase the matching-doc count and total
+    occurrences; the round trip (bigram counts == positional-join
+    occurrence counts) is itself the correctness witness.
+
+    Scale shape: bigram counting is one partial-aggregated groupBy
+    (|bigram vocab| rows cross the exchange, not corpus positions) +
+    TakeOrdered for the top-k; the match side filters the token stream
+    by a BROADCAST 5-row phrase frame BEFORE the positional self-join,
+    so the join touches only postings of the 10 queried words — the
+    standard index-pruned phrase plan, never a corpus self-join."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    bigrams = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(ws, (x, i) -> IF(i < size(ws) - 1 "
+                "AND length(x) > 0 AND length(ws[i + 1]) > 0, "
+                "concat(x, ' ', ws[i + 1]), NULL)), x -> x IS NOT NULL)"
+            )
+        ).alias("phrase"),
+    )
+    top = (
+        bigrams.groupBy("phrase")
+        .agg(F.count("*").alias("n_total"))
+        .orderBy(F.desc("n_total"), F.asc("phrase"))
+        .limit(5)
+        .select(
+            "phrase",
+            F.split("phrase", " ").getItem(0).alias("w1"),
+            F.split("phrase", " ").getItem(1).alias("w2"),
+        )
+    )
+    toks = ws.select(
+        "doc_id", F.posexplode("ws").alias("p", "term")
+    ).filter(F.length("term") > 0)
+    first = toks.join(
+        F.broadcast(top), toks["term"] == top["w1"]
+    ).select("doc_id", "p", "phrase", "w2")
+    second = toks.select(
+        "doc_id", (F.col("p") - 1).alias("p"), F.col("term").alias("t2")
+    )
+    hits = first.join(
+        second,
+        ["doc_id", "p"],
+    ).filter(F.col("t2") == F.col("w2"))
+    return (
+        hits.groupBy("phrase")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .orderBy("phrase")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: every key with an oracle_sql() entry comes FIRST,
     # and the FIRST 50 are the priority window — the driver's correctness
@@ -4433,6 +4498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "mojibake_repair": _q_mojibake_repair,
         "host_template_lines": _q_host_template_lines,
+        "phrase_search": _q_phrase_search,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -6485,6 +6551,39 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS repaired_md5
             FROM garnished
             ORDER BY doc_id
+        """,
+        # phrase_search: the oracle is deliberately the SEMANTIC ground
+        # truth — direct adjacent-bigram counting — while Spark routes
+        # the same phrases through the positional-postings join; a
+        # match proves the index path reconstructs exactly the direct
+        # counts (round-trip witness).
+        "phrase_search": """
+            WITH ws AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents
+            ), bigrams AS (
+                SELECT doc_id,
+                       unnest(list_filter(list_transform(
+                           range(1, len(ws)),
+                           i -> CASE WHEN length(ws[i]) > 0
+                                      AND length(ws[i + 1]) > 0
+                                THEN ws[i] || ' ' || ws[i + 1] END),
+                           x -> x IS NOT NULL)) AS phrase
+                FROM ws
+            ), top AS (
+                SELECT phrase FROM (
+                    SELECT phrase, count(*) AS n_total
+                    FROM bigrams GROUP BY phrase
+                    ORDER BY n_total DESC, phrase ASC LIMIT 5
+                )
+            )
+            SELECT phrase,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occ
+            FROM bigrams
+            WHERE phrase IN (SELECT phrase FROM top)
+            GROUP BY phrase
+            ORDER BY phrase
         """,
         "host_template_lines": """
             WITH ws AS (

@@ -208,7 +208,7 @@ def main() -> None:
             "host_url_hll", "heavy_hitters_cms", "containment_pairs",
             "gopher_rules", "seq_len_buckets", "bloom_dedup_probe",
             "link_spam", "hits_step", "robots_parse", "embedding_outliers",
-            "mojibake_repair", "host_template_lines",
+            "mojibake_repair", "host_template_lines", "phrase_search",
         ]
         qs = entry_mod.queries()
         # reference times from the last clean same-sf campaign (committed

@@ -655,3 +655,21 @@ def test_host_template_lines_partial_agg_broadcast_hostdocs(spark):
     assert "partial_count" in plan or "partial count" in plan.lower(), (
         plan[:3000]
     )
+
+
+def test_phrase_search_broadcast_pruned_positional_join(spark):
+    """phrase_search (X76): the positional join must touch only
+    postings of the queried words — the token stream is pruned by a
+    BROADCAST join against the 5-row phrase frame before any keyed
+    join — and the top-k phrase selection is a TakeOrdered, never a
+    global sort of the bigram vocabulary.  Nothing is cartesian,
+    windowed, or Python."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["phrase_search"](spark, SF_DIR))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
