@@ -4350,6 +4350,175 @@ def _q_phrase_search(spark, sf_dir):
     )
 
 
+def _q_sitemap_parse(spark, sf_dir):
+    """X77: XML sitemap parser — the discovery-side sibling of
+    robots_parse (RFC-adjacent sitemaps.org protocol): a crawler learns
+    a host's URL inventory from /sitemap.xml before it fetches anything.
+    Parses <url> entries (loc, optional lastmod, optional priority,
+    changefreq) out of per-host urlset bodies and rolls them up to the
+    per-host facts a frontier scheduler consumes: URL count, how many
+    carry lastmod, the freshest lastmod, the priority mass, and the
+    count of daily-changefreq entries.  Bodies are synthesized
+    deterministically per host (entry count, dates, priorities all
+    derived from the numeric host id) so the DuckDB twin parses the
+    identical text; priorities are single-digit decimals aggregated as
+    integer tenths (sum_prio10) to keep the compare float-free.
+
+    Scale shape: synthesis/parse is a narrow per-host map (the protocol
+    caps one sitemap file at 50k URLs / 50 MB, so the regexp walk is
+    bounded by FILE size, never corpus size); the entry explode is
+    followed by one partial-aggregated groupBy(host) — hot hosts
+    collapse map-side, O(hosts) rows cross the exchange."""
+    hosts = (
+        _synth_urls(_t(spark, sf_dir, "documents"))
+        .select("host", "hn")
+        .distinct()
+    )
+    entry = (
+        "concat('<url><loc>https://', host, '/page/', CAST(i AS STRING),"
+        " '</loc>',"
+        " IF(i % 2 = 0, concat('<lastmod>2024-01-',"
+        "   lpad(CAST(10 + (hn + i) % 19 AS STRING), 2, '0'),"
+        "   '</lastmod>'), ''),"
+        " IF(i % 3 != 0, concat('<priority>0.', CAST(i % 10 AS STRING),"
+        "   '</priority>'), ''),"
+        " '<changefreq>',"
+        " element_at(array('daily', 'weekly', 'monthly'), 1 + (hn + i) % 3),"
+        " '</changefreq></url>')"
+    )
+    bodies = hosts.withColumn(
+        "body",
+        F.expr(
+            "concat('<urlset>', "
+            f"array_join(transform(sequence(1, 1 + hn % 5), i -> {entry}),"
+            " ''), '</urlset>')"
+        ),
+    )
+    fields = bodies.select(
+        "host",
+        F.explode(
+            F.expr("regexp_extract_all(body, '<url>(.*?)</url>', 1)")
+        ).alias("b"),
+    ).select(
+        "host",
+        F.regexp_extract("b", "<lastmod>([^<]*)</lastmod>", 1).alias(
+            "lastmod"
+        ),
+        F.regexp_extract("b", r"<priority>0\.(\d)</priority>", 1).alias(
+            "prio"
+        ),
+        F.regexp_extract("b", "<changefreq>([^<]*)</changefreq>", 1).alias(
+            "cf"
+        ),
+    )
+    return (
+        fields.groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum((F.col("lastmod") != "").cast("bigint")).alias(
+                "n_lastmod"
+            ),
+            F.max(F.when(F.col("lastmod") != "", F.col("lastmod"))).alias(
+                "last_mod"
+            ),
+            F.sum(
+                F.when(F.col("prio") != "", F.col("prio").cast("bigint"))
+                .otherwise(F.lit(0))
+            ).alias("sum_prio10"),
+            F.sum((F.col("cf") == "daily").cast("bigint")).alias("n_daily"),
+        )
+        .orderBy("host")
+    )
+
+
+def _q_c4_filters(spark, sf_dir):
+    """X78: C4 heuristic filters (Raffel et al. 2020 §2.2) — the
+    published line+page rule set every public English corpus since T5
+    starts from: keep only lines ending in terminal punctuation, drop
+    lines under 5 words, drop lines containing the word "javascript",
+    drop whole pages that contain "lorem ipsum" or a curly bracket,
+    and drop pages left with fewer than 3 sentences.  (The paper's two
+    remaining rules are owned by sibling operators: the bad-words page
+    drop is X41 `blocklist_tags`, the three-sentence-span dedup is
+    X26/X29 `dup_spans`/`dedup_apply_spans`.)
+
+    The fixture corpus is a flat word stream, so each document is
+    first re-wrapped into lines of (5 + doc_id % 7) words with a
+    deterministic punctuation cycle — (doc_id + i) % 4 selects
+    ''/'.'/'!'/'?' — and garnished with the exact pathologies the
+    rules exist for (a "lorem ipsum" line on doc_id % 41, a
+    curly-brace config line on doc_id % 37, an "enable javascript"
+    line on doc_id % 11), spelled identically by the SQL twin, so
+    every rule fires non-vacuously at sf0.01.  The residual page is
+    witnessed by md5 over the '\\n'-rejoined kept lines — byte-equal
+    reconstruction, not just counts.
+
+    Scale shape: one narrow projection — split + transform + filter
+    are JVM higher-order functions fused into the scan, zero shuffles
+    before the presentation sort; at 10^12 docs this is a pure map
+    stage (the reference's cleaning chain runs the same way inside
+    the extraction kernel, ref stage2_ocr.py:520-610)."""
+    d = _t(spark, sf_dir, "documents")
+    body = (
+        "transform(sequence(0, cast(floor((size(split(text, ' ')) - 1)"
+        " / (5 + doc_id % 7)) as int)),"
+        " i -> concat(array_join(slice(split(text, ' '),"
+        " i * cast(5 + doc_id % 7 as int) + 1,"
+        " cast(5 + doc_id % 7 as int)), ' '),"
+        " element_at(array('', '.', '!', '?'),"
+        " cast((doc_id + i) % 4 as int) + 1)))"
+    )
+    garnish = (
+        "concat("
+        " IF(doc_id % 41 = 0,"
+        "    array('lorem ipsum dolor sit amet consectetur.'), array()),"
+        " IF(doc_id % 37 = 0,"
+        "    array('var config = { privacy: true };'), array()),"
+        " IF(doc_id % 11 = 0,"
+        "    array('please enable javascript to continue viewing.'),"
+        "    array()),"
+        f" {body})"
+    )
+    lined = d.select("doc_id", F.expr(garnish).alias("lines"))
+    kept_expr = (
+        "filter(lines, l -> l rlike '[.!?\"]$'"
+        " AND size(split(l, ' ')) >= 5"
+        " AND NOT contains(lower(l), 'javascript'))"
+    )
+    per_doc = lined.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.expr(kept_expr).alias("kept"),
+        F.expr(
+            "exists(lines, l -> contains(lower(l), 'lorem ipsum'))"
+        ).alias("has_lorem"),
+        F.expr("exists(lines, l -> contains(l, '{'))").alias("has_brace"),
+    ).select(
+        "doc_id",
+        "n_lines",
+        F.size("kept").alias("n_kept_lines"),
+        F.concat_ws("\n", "kept").alias("kept_text"),
+        "has_lorem",
+        "has_brace",
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        F.expr("size(regexp_extract_all(kept_text, '[.!?]', 0))")
+        .cast("bigint")
+        .alias("n_sentences"),
+        "has_lorem",
+        "has_brace",
+        (
+            (F.expr("size(regexp_extract_all(kept_text, '[.!?]', 0))") >= 3)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+        ).alias("keep"),
+        F.md5(F.encode("kept_text", "UTF-8")).alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: every key with an oracle_sql() entry comes FIRST,
     # and the FIRST 50 are the priority window — the driver's correctness
@@ -4430,14 +4599,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_step": _q_hits_step,
         "robots_parse": _q_robots_parse,
         "embedding_outliers": _q_embedding_outliers,
-        # family representatives with prior green rows (r01-r04)
+        # newest round-5 operators, never driver-rowed before
+        "mojibake_repair": _q_mojibake_repair,
+        "host_template_lines": _q_host_template_lines,
+        "phrase_search": _q_phrase_search,
+        "sitemap_parse": _q_sitemap_parse,
+        # -- oracled, outside the 50-entry driver window: every one has
+        # a green driver row in CORRECTNESS_r01-r04 and stays covered by
+        # the identical compare in tests/test_entry_contract.py
         "revenue_by_nation": _q_revenue_by_nation,
         "events_pivot": _q_events_pivot,
         "host_stats": _q_host_stats,
         "embedding_near_dup": _q_embedding_near_dup,
-        # -- oracled, outside the 50-entry driver window: every one has
-        # a green driver row in CORRECTNESS_r01-r04 and stays covered by
-        # the identical compare in tests/test_entry_contract.py
         "top_orders": _q_top_orders,
         "shipping_priority": _q_shipping_priority,
         "promo_revenue": _q_promo_revenue,
@@ -4496,9 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": _q_classifier_scores,
         "line_dedup": _q_line_dedup,
         "snapshot_diff": _q_snapshot_diff,
-        "mojibake_repair": _q_mojibake_repair,
-        "host_template_lines": _q_host_template_lines,
-        "phrase_search": _q_phrase_search,
+        "c4_filters": _q_c4_filters,
         # --- no DuckDB oracle (independent pytest verification) below ---
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -6584,6 +6755,118 @@ def oracle_sql() -> dict[str, str]:
             WHERE phrase IN (SELECT phrase FROM top)
             GROUP BY phrase
             ORDER BY phrase
+        """,
+        "sitemap_parse": """
+            WITH hosts AS (
+                SELECT DISTINCT source || '.example.com' AS host,
+                       CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT)
+                           AS hn
+                FROM documents
+            ), bodies AS (
+                SELECT host,
+                       '<urlset>' || list_aggregate(list_transform(
+                           generate_series(1, 1 + hn % 5),
+                           i -> '<url><loc>https://' || host || '/page/'
+                                || CAST(i AS VARCHAR) || '</loc>'
+                                || CASE WHEN i % 2 = 0 THEN
+                                       '<lastmod>2024-01-'
+                                       || lpad(CAST(10 + (hn + i) % 19
+                                               AS VARCHAR), 2, '0')
+                                       || '</lastmod>'
+                                   ELSE '' END
+                                || CASE WHEN i % 3 <> 0 THEN
+                                       '<priority>0.'
+                                       || CAST(i % 10 AS VARCHAR)
+                                       || '</priority>'
+                                   ELSE '' END
+                                || '<changefreq>'
+                                || (['daily', 'weekly', 'monthly'])[
+                                       1 + (hn + i) % 3]
+                                || '</changefreq></url>'),
+                           'string_agg', '') || '</urlset>' AS body
+                FROM hosts
+            ), fields AS (
+                SELECT host,
+                       regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1)
+                           AS lastmod,
+                       regexp_extract(b, '<priority>0\\.(\\d)</priority>', 1)
+                           AS prio,
+                       regexp_extract(b,
+                           '<changefreq>([^<]*)</changefreq>', 1) AS cf
+                FROM (SELECT host,
+                             unnest(regexp_extract_all(
+                                 body, '<url>(.*?)</url>', 1)) AS b
+                      FROM bodies)
+            )
+            SELECT host,
+                   count(*) AS n_urls,
+                   sum(CASE WHEN lastmod <> '' THEN 1 ELSE 0 END)
+                       AS n_lastmod,
+                   max(nullif(lastmod, '')) AS last_mod,
+                   sum(CASE WHEN prio <> '' THEN CAST(prio AS BIGINT)
+                            ELSE 0 END) AS sum_prio10,
+                   sum(CASE WHEN cf = 'daily' THEN 1 ELSE 0 END) AS n_daily
+            FROM fields
+            GROUP BY host
+            ORDER BY host
+        """,
+        "c4_filters": """
+            WITH base AS (
+                SELECT doc_id,
+                       string_split(text, ' ') AS ws,
+                       CAST(5 + doc_id % 7 AS INT) AS k
+                FROM documents
+            ), lined AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 41 = 0 THEN
+                           ['lorem ipsum dolor sit amet consectetur.']
+                       ELSE [] END
+                       || CASE WHEN doc_id % 37 = 0 THEN
+                           ['var config = { privacy: true };']
+                       ELSE [] END
+                       || CASE WHEN doc_id % 11 = 0 THEN
+                           ['please enable javascript to continue viewing.']
+                       ELSE [] END
+                       || list_transform(
+                           generate_series(0, (len(ws) - 1) // k),
+                           i -> array_to_string(
+                                    list_slice(ws, i * k + 1, i * k + k),
+                                    ' ')
+                                || (['', '.', '!', '?'])[
+                                       CAST((doc_id + i) % 4 AS INT) + 1])
+                       AS lines
+                FROM base
+            ), filtered AS (
+                SELECT doc_id,
+                       CAST(len(lines) AS INT) AS n_lines,
+                       list_filter(lines,
+                           l -> regexp_matches(l, '[.!?"]$')
+                                AND len(string_split(l, ' ')) >= 5
+                                AND NOT contains(lower(l), 'javascript'))
+                           AS kept,
+                       len(list_filter(lines,
+                           l -> contains(lower(l), 'lorem ipsum'))) > 0
+                           AS has_lorem,
+                       len(list_filter(lines, l -> contains(l, '{'))) > 0
+                           AS has_brace
+                FROM lined
+            ), rebuilt AS (
+                SELECT doc_id, n_lines,
+                       CAST(len(kept) AS INT) AS n_kept_lines,
+                       coalesce(array_to_string(kept, chr(10)), '')
+                           AS kept_text,
+                       has_lorem, has_brace
+                FROM filtered
+            )
+            SELECT doc_id, n_lines, n_kept_lines,
+                   CAST(len(regexp_extract_all(kept_text, '[.!?]'))
+                        AS BIGINT) AS n_sentences,
+                   has_lorem, has_brace,
+                   (len(regexp_extract_all(kept_text, '[.!?]')) >= 3
+                    AND NOT has_lorem AND NOT has_brace) AS keep,
+                   md5(kept_text) AS kept_md5
+            FROM rebuilt
+            ORDER BY doc_id
         """,
         "host_template_lines": """
             WITH ws AS (

@@ -209,6 +209,7 @@ def main() -> None:
             "gopher_rules", "seq_len_buckets", "bloom_dedup_probe",
             "link_spam", "hits_step", "robots_parse", "embedding_outliers",
             "mojibake_repair", "host_template_lines", "phrase_search",
+            "sitemap_parse", "c4_filters",
         ]
         qs = entry_mod.queries()
         # reference times from the last clean same-sf campaign (committed

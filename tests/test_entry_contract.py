@@ -272,9 +272,9 @@ def test_driver_window_allocation():
     window = set(names[:50])
     # final round-5 allocation: after this round EVERY oracled query has
     # had at least one driver CORRECTNESS row in some round.  The window
-    # holds the pinned core, every never-rowed query (18 round-5
-    # additions swapped in for 18 multi-round-green members), and one
-    # representative per already-verified family.
+    # holds the pinned core and every never-rowed query (round-5
+    # additions swapped in for multi-round-green members, which remain
+    # covered by the identical pytest compare).
     must_have = {
         # extraction family (always pinned)
         "extract_documents", "assemble_documents",
@@ -300,9 +300,9 @@ def test_driver_window_allocation():
         "gopher_rules", "seq_len_buckets", "bloom_dedup_probe",
         "link_spam", "hits_step", "robots_parse",
         "embedding_outliers",
-        # family representatives with prior green rows
-        "revenue_by_nation", "events_pivot", "host_stats",
-        "embedding_near_dup",
+        # newest round-5 operators, never driver-rowed before
+        "mojibake_repair", "host_template_lines", "phrase_search",
+        "sitemap_parse",
     }
     assert len(must_have) == 50
     missing = must_have - window

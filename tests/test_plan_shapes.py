@@ -657,6 +657,39 @@ def test_host_template_lines_partial_agg_broadcast_hostdocs(spark):
     )
 
 
+def test_sitemap_parse_narrow_parse_partial_agg(spark):
+    """sitemap_parse (X77): synthesis + regexp parse must be a narrow
+    JVM map (no Python eval nodes), and the per-host rollup must carry
+    a map-side partial aggregation so hot hosts collapse before the
+    exchange.  Nothing is windowed or cartesian."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["sitemap_parse"](spark, SF_DIR))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_count" in plan or "partial count" in plan.lower(), (
+        plan[:3000]
+    )
+
+
+def test_c4_filters_pure_map_no_exchange(spark):
+    """c4_filters (X78): the whole rule chain (line split, per-line
+    filters, page predicates, md5 witness) must be one narrow JVM
+    higher-order-function map over the scan — zero hash exchanges,
+    no Python eval nodes, no Window; the only exchange allowed is the
+    presentation sort's range partitioning."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["c4_filters"](spark, SF_DIR))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+
+
 def test_phrase_search_broadcast_pruned_positional_join(spark):
     """phrase_search (X76): the positional join must touch only
     postings of the queried words — the token stream is pruned by a
